@@ -1,0 +1,163 @@
+"""BVH builder, flattener, and golden-traversal correctness tests.
+
+The core property (SURVEY.md SS5): every flattened-BVH traversal must equal
+brute-force O(N) intersection -- hit id (where the closest hit is unique),
+t, u, v -- on random triangle soups and structured scenes.
+"""
+
+import numpy as np
+import pytest
+
+from ntrace_tpu.bvh.flatten import flat_children, flatten_bvh
+from ntrace_tpu.bvh.golden import brute_force_anyhit, brute_force_mt, brute_force_woop
+from ntrace_tpu.bvh.median import build_median_bvh
+from ntrace_tpu.core import BuildConfig
+from ntrace_tpu.ops.woop import LEAF_END_BITS
+from ntrace_tpu.scenes import make_random_soup, make_single_triangle, make_two_quads
+from ntrace_tpu.trace.cpu import trace_cpu_golden
+from tests.conftest import random_rays
+
+
+def assert_hits_match_brute(rec, brute, t_rtol=1e-4):
+    """Engine result vs brute force: ids exact except on exact-t ties."""
+    same_id = rec.tri == brute.tri
+    if not same_id.all():
+        bad = ~same_id
+        # Allowed: genuine ties (identical t for different tris).
+        np.testing.assert_allclose(rec.t[bad], brute.t[bad], rtol=1e-6,
+                                   err_msg="hit-id mismatch without a t tie")
+    hit = (brute.tri >= 0) & same_id
+    np.testing.assert_allclose(rec.t[hit], brute.t[hit], rtol=t_rtol)
+    np.testing.assert_allclose(rec.u[hit], brute.u[hit], rtol=0, atol=1e-3)
+    np.testing.assert_allclose(rec.v[hit], brute.v[hit], rtol=0, atol=1e-3)
+    miss = brute.tri < 0
+    assert (rec.tri[miss] < 0).all(), "engine hit where brute force missed"
+
+
+class TestMedianBVH:
+    def test_structure_valid(self, soup_small):
+        bvh = build_median_bvh(soup_small)
+        bvh.validate(soup_small.num_tris)
+        # Median builder duplicates nothing: tri_order is a permutation.
+        assert np.array_equal(np.sort(bvh.tri_order), np.arange(soup_small.num_tris))
+
+    def test_bounds_contain_triangles(self, soup_small):
+        bvh = build_median_bvh(soup_small)
+        tv = soup_small.tri_verts()
+        for i in range(bvh.num_inner):
+            for c in range(2):
+                ref = bvh.child[i, c]
+                if ref < 0:
+                    leaf = ~ref
+                    f, n = bvh.leaf_first[leaf], bvh.leaf_count[leaf]
+                    tris = bvh.tri_order[f:f + n]
+                    assert (tv[tris].min(axis=(0, 1)) >= bvh.child_lo[i, c] - 1e-5).all()
+                    assert (tv[tris].max(axis=(0, 1)) <= bvh.child_hi[i, c] + 1e-5).all()
+
+    def test_parent_bounds_contain_child_bounds(self, soup_small):
+        bvh = build_median_bvh(soup_small)
+        for i in range(bvh.num_inner):
+            for c in range(2):
+                ref = bvh.child[i, c]
+                if ref >= 0:
+                    clo = bvh.child_lo[ref].min(axis=0)
+                    chi = bvh.child_hi[ref].max(axis=0)
+                    assert (clo >= bvh.child_lo[i, c] - 1e-5).all()
+                    assert (chi <= bvh.child_hi[i, c] + 1e-5).all()
+
+    def test_sah_cost_positive(self, soup_small):
+        bvh = build_median_bvh(soup_small)
+        assert bvh.sah_cost() > 1.0
+
+    def test_single_triangle_scene(self):
+        sc = make_single_triangle()
+        bvh = build_median_bvh(sc)
+        bvh.validate(sc.num_tris)
+
+
+class TestFlatten:
+    def test_sentinels_and_tri_index(self, soup_small):
+        bvh = build_median_bvh(soup_small)
+        flat = flatten_bvh(bvh, soup_small)
+        m0x_bits = flat.woop[:, 0:1].view(np.int32)[:, 0]
+        sent = m0x_bits == LEAF_END_BITS
+        assert sent.sum() == bvh.num_leaves
+        assert (flat.tri_index[sent] == -1).all()
+        assert (flat.tri_index[~sent] >= 0).all()
+        # No real row aliases the sentinel bit pattern.
+        assert not (m0x_bits[~sent] == LEAF_END_BITS).any()
+
+    def test_children_encoding(self, soup_small):
+        bvh = build_median_bvh(soup_small)
+        flat = flatten_bvh(bvh, soup_small)
+        ch = flat_children(flat)
+        inner = ch[ch >= 0]
+        assert (inner < flat.nodes.shape[0]).all()
+        leaf_offsets = ~ch[ch < 0]
+        assert (leaf_offsets < flat.woop.shape[0]).all()
+        # Every leaf offset points at a non-sentinel row (leaves are nonempty).
+        m0x_bits = flat.woop[:, 0:1].view(np.int32)[:, 0]
+        assert not (m0x_bits[leaf_offsets] == LEAF_END_BITS).any()
+
+    def test_leaf_runs_cover_all_triangles(self, soup_small):
+        bvh = build_median_bvh(soup_small)
+        flat = flatten_bvh(bvh, soup_small)
+        ids = flat.tri_index[flat.tri_index >= 0]
+        assert np.array_equal(np.sort(ids), np.arange(soup_small.num_tris))
+
+
+class TestGoldenTraversal:
+    def test_matches_brute_force_on_soup(self, soup_small, rng):
+        bvh = build_median_bvh(soup_small)
+        flat = flatten_bvh(bvh, soup_small)
+        o, d, tmin, tmax = random_rays(rng, 2000)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(soup_small, o, d, tmin, tmax)
+        assert (rec.tri >= 0).mean() > 0.1  # sanity: rays actually hit
+        assert_hits_match_brute(rec, brute)
+
+    def test_matches_brute_force_medium(self, soup_medium, rng):
+        bvh = build_median_bvh(soup_medium)
+        flat = flatten_bvh(bvh, soup_medium)
+        o, d, tmin, tmax = random_rays(rng, 1000)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(soup_medium, o, d, tmin, tmax)
+        assert_hits_match_brute(rec, brute)
+
+    def test_woop_brute_agrees_with_mt_brute(self, soup_small, rng):
+        o, d, tmin, tmax = random_rays(rng, 1500)
+        mt = brute_force_mt(soup_small, o, d, tmin, tmax)
+        wp = brute_force_woop(soup_small, o, d, tmin, tmax)
+        same = mt.tri == wp.tri
+        assert same.mean() > 0.998  # epsilon-edge disagreements only
+        hit = same & (mt.tri >= 0)
+        np.testing.assert_allclose(mt.t[hit], wp.t[hit], rtol=2e-4, atol=1e-5)
+
+    def test_two_quads_occlusion(self):
+        sc = make_two_quads()
+        bvh = build_median_bvh(sc)
+        flat = flatten_bvh(bvh, sc)
+        o = np.array([[0.0, 0.0, 0.0]], np.float32)
+        d = np.array([[0.0, 0.0, 1.0]], np.float32)
+        rec = trace_cpu_golden(flat, o, d, np.zeros(1, np.float32), np.full(1, 1e9, np.float32))
+        # Must hit the FRONT quad (z=1), i.e. one of tris 0..1.
+        assert rec.tri[0] in (0, 1)
+        assert abs(rec.t[0] - 1.0) < 1e-5
+
+    def test_any_hit_mode(self, soup_small, rng):
+        bvh = build_median_bvh(soup_small)
+        flat = flatten_bvh(bvh, soup_small)
+        o, d, tmin, tmax = random_rays(rng, 1000)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax, any_hit=True)
+        blocked = brute_force_anyhit(soup_small, o, d, tmin, tmax)
+        np.testing.assert_array_equal(rec.tri >= 0, blocked)
+
+    def test_tmax_respected(self, soup_small, rng):
+        bvh = build_median_bvh(soup_small)
+        flat = flatten_bvh(bvh, soup_small)
+        o, d, tmin, _ = random_rays(rng, 1000)
+        tmax = np.full((1000,), 5.0, np.float32)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(soup_small, o, d, tmin, tmax)
+        assert_hits_match_brute(rec, brute)
+        assert (rec.t[rec.tri >= 0] < 5.0).all()
