@@ -1,0 +1,89 @@
+"""RayBatch pytree + Morton re-sort of secondary rays.
+
+Reference parity (~ rt/ray/RayBuffer.{cpp,hpp} + RayBufferKernels.cu):
+  - SoA ray storage: origin/tmin, direction/tmax per ray
+  - results: (id, t, u, v)
+  - slot<->id remap tables so sorted traversal order can be unsorted back
+  - `mortonSort`: re-sort incoherent secondary rays by a key interleaving
+    quantized origin (high bits) and direction octant (low bits) so nearby
+    rays traverse nearby nodes
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntrace_tpu.ops.morton import morton_codes_3d
+
+
+@dataclass
+class RayBatch:
+    orig: Any  # (R, 3) f32
+    dirn: Any  # (R, 3) f32
+    tmin: Any  # (R,) f32
+    tmax: Any  # (R,) f32
+    slot_to_id: Any = None  # (R,) i32: original ray id of each slot
+
+    @property
+    def num_rays(self) -> int:
+        return int(self.orig.shape[0])
+
+
+jax.tree_util.register_pytree_node(
+    RayBatch,
+    lambda b: ((b.orig, b.dirn, b.tmin, b.tmax, b.slot_to_id), None),
+    lambda _, c: RayBatch(*c),
+)
+
+
+def _direction_octant(ns, dirn):
+    """3-bit direction octant code (sign bits of x, y, z)."""
+    return (
+        (dirn[..., 0] < 0).astype("int32") * 4
+        + (dirn[..., 1] < 0).astype("int32") * 2
+        + (dirn[..., 2] < 0).astype("int32")
+    )
+
+
+def morton_sort_key(ns, orig, dirn, scene_lo, scene_hi):
+    """Coherence sort key: origin Morton code with its low 3 bits replaced
+    by the direction octant -- fits int32 (no x64 dependency), matching the
+    reference's (origin, direction) two-level coherence idea without its
+    exact bit budget (unverifiable, empty mount).
+    """
+    oc = morton_codes_3d(ns, orig, scene_lo, scene_hi)
+    return (oc & ~np.int32(7)) | _direction_octant(ns, dirn)
+
+
+def morton_sort_rays(batch: RayBatch, scene_lo, scene_hi) -> RayBatch:
+    """Return a new RayBatch sorted for coherence, tracking slot_to_id."""
+    ns = jnp if isinstance(batch.orig, jax.Array) else np
+    key = morton_sort_key(ns, batch.orig, batch.dirn, scene_lo, scene_hi)
+    order = ns.argsort(key)
+    ids = batch.slot_to_id
+    if ids is None:
+        ids = ns.arange(batch.num_rays, dtype="int32")
+    return RayBatch(
+        orig=batch.orig[order],
+        dirn=batch.dirn[order],
+        tmin=batch.tmin[order],
+        tmax=batch.tmax[order],
+        slot_to_id=ids[order],
+    )
+
+
+def unsort(values, slot_to_id, num_rays=None):
+    """Scatter per-slot values back to original ray-id order."""
+    ns = jnp if isinstance(values, jax.Array) else np
+    n = num_rays or values.shape[0]
+    if ns is np:
+        out = np.empty((n,) + values.shape[1:], dtype=values.dtype)
+        out[slot_to_id] = values
+        return out
+    out = jnp.zeros((n,) + values.shape[1:], dtype=values.dtype)
+    return out.at[slot_to_id].set(values)

@@ -1,0 +1,299 @@
+"""Per-frame orchestration: build -> raygen -> trace -> secondary -> shade.
+
+Reference parity (~ rt/cuda/Renderer.{cpp,hpp} + RendererKernels.cu,
+SURVEY.md SS3.2): Renderer owns the accel build, primary raygen, the
+per-ray-type secondary passes (shadow any-hit / AO any-hit / diffuse
+closest-hit batches, optionally Morton-sorted), a shading kernel, and the
+framebuffer. Batching caps in-flight rays (max_batch_rays ~ the reference's
+1-4M cap) by looping the tracer over chunks.
+
+Shading model (the reference's debug/benchmark shading, not a PBR renderer):
+  primary: |unit geometric normal|, black background
+  shadow : normal shading * (0.25 + 0.75 * unoccluded)
+  ao     : normal shading * mean(unoccluded samples)
+  diffuse: normal shading * 0.5 + 0.5 * bounce-hit normal shading
+  path   : diffuse-material path with `bounces` bounces, emissive lights
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntrace_tpu.bvh.flatten import FlatBVH, flatten_bvh
+from ntrace_tpu.bvh.median import build_median_bvh
+from ntrace_tpu.core import BuildConfig, Camera, RenderConfig, Scene
+from ntrace_tpu.ray import pixel_table, raygen
+from ntrace_tpu.ray.raybatch import RayBatch, morton_sort_rays
+from ntrace_tpu.trace.stack_jax import trace_stack
+from ntrace_tpu.utils.timing import StageTimer
+
+
+@dataclass
+class RenderResult:
+    image: np.ndarray                     # (H, W, 3) float32 linear
+    hit_tri: np.ndarray                   # (H*W,) int32 primary hits (pixel order)
+    hit_t: np.ndarray                     # (H*W,) float32
+    stats: dict = field(default_factory=dict)
+
+
+def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
+                use_cache: bool = False) -> FlatBVH:
+    """Builder dispatch (median now; lbvh/hlbvh/sbvh land in later commits)."""
+    if use_cache:
+        from ntrace_tpu.utils import cache as accel_cache
+
+        hit = accel_cache.load_accel(scene, cfg)
+        if hit is not None:
+            return hit
+        flat = build_accel(scene, cfg, use_cache=False)
+        accel_cache.save_accel(scene, cfg, flat)
+        return flat
+    if cfg.builder in ("median", "golden"):
+        bvh = build_median_bvh(scene, cfg)
+        return flatten_bvh(bvh, scene)
+    if cfg.builder in ("lbvh", "hlbvh"):
+        from ntrace_tpu.bvh.lbvh import build_lbvh_flat
+
+        return build_lbvh_flat(scene, cfg)
+    if cfg.builder in ("sbvh", "binned_sah"):
+        from ntrace_tpu.bvh.sbvh import build_sbvh
+
+        bvh = build_sbvh(scene, cfg)
+        return flatten_bvh(bvh, scene)
+    raise ValueError(f"unknown builder {cfg.builder!r}")
+
+
+def _trace_batched(tracer, flat_dev, batch: RayBatch, cap: int, any_hit: bool):
+    """Loop the tracer over <=cap-ray chunks (the in-flight ray cap)."""
+    n = batch.num_rays
+    if n <= cap:
+        return tracer(*flat_dev, batch.orig, batch.dirn, batch.tmin, batch.tmax,
+                      any_hit=any_hit)
+    outs = []
+    for s in range(0, n, cap):
+        e = min(s + cap, n)
+        outs.append(tracer(
+            *flat_dev, batch.orig[s:e], batch.dirn[s:e],
+            batch.tmin[s:e], batch.tmax[s:e], any_hit=any_hit,
+        ))
+    return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(4))
+
+
+class Renderer:
+    def __init__(self, scene: Scene, build_cfg: BuildConfig = BuildConfig(),
+                 cfg: RenderConfig = RenderConfig(), flat: FlatBVH | None = None):
+        self.scene = scene
+        self.cfg = cfg
+        self.build_cfg = build_cfg
+        self.timer = StageTimer()
+        with self.timer.stage("build"):
+            self.flat = flat if flat is not None else build_accel(scene, build_cfg)
+        self.flat_dev = (
+            jax.device_put(jnp.asarray(self.flat.nodes)),
+            jax.device_put(jnp.asarray(self.flat.woop)),
+            jax.device_put(jnp.asarray(self.flat.tri_index)),
+        )
+        gn = scene.geometric_normals()
+        self.geom_normals = jax.device_put(jnp.asarray(gn))
+        mats = np.stack([np.asarray(m.diffuse, np.float32) for m in scene.materials])
+        emis = np.stack([np.asarray(m.emissive, np.float32) for m in scene.materials])
+        self.mat_diffuse = jax.device_put(jnp.asarray(mats))
+        self.mat_emissive = jax.device_put(jnp.asarray(emis))
+        self.mat_ids = jax.device_put(jnp.asarray(scene.mat_ids))
+        lo, hi = scene.bbox()
+        self.scene_lo = jnp.asarray(lo)
+        self.scene_hi = jnp.asarray(hi)
+        self.scene_scale = float(np.linalg.norm(hi - lo))
+        self.eps = jnp.float32(self.scene_scale * 1e-4)
+
+    # -- shading helpers (all jitted via callers) -------------------------
+
+    def _unit_normals(self, hit_tri, dirn):
+        n, _ = raygen.surface_frame(hit_tri, dirn, self.geom_normals, 0.0)
+        return n
+
+    def _normal_color(self, hit_tri):
+        tri = jnp.maximum(hit_tri, 0)
+        gn = self.geom_normals[tri]
+        gn = gn / (jnp.linalg.norm(gn, axis=-1, keepdims=True) + 1e-30)
+        col = jnp.abs(gn)
+        return jnp.where(hit_tri[:, None] >= 0, col, 0.0)
+
+    # -- ray-type passes ---------------------------------------------------
+
+    def render(self, camera: Camera, mode: str | None = None) -> RenderResult:
+        cfg = self.cfg
+        mode = mode or cfg.mode
+        W, H = cfg.width, cfg.height
+        timer = StageTimer()
+        order, _ = pixel_table(W, H)
+        cam = raygen.camera_arrays(camera, W, H)
+
+        with timer.stage("raygen"):
+            batch = raygen.primary(cam, W, H, jnp.asarray(order))
+            jax.block_until_ready(batch.dirn)
+        with timer.stage("trace_primary"):
+            tri, t, u, v = _trace_batched(
+                trace_stack, self.flat_dev, batch, cfg.max_batch_rays, False
+            )
+            jax.block_until_ready(t)
+        timer.add("rays_primary", batch.num_rays / 1e9)  # stored as Grays
+
+        hit_mask = tri >= 0
+        normals = self._unit_normals(tri, batch.dirn)
+        t_safe = jnp.where(hit_mask, t, 0.0)
+        hit_pos = batch.orig + t_safe[:, None] * batch.dirn
+        base_col = self._normal_color(tri)
+        key = jax.random.PRNGKey(cfg.seed)
+
+        if mode == "primary":
+            color = base_col
+        elif mode == "shadow":
+            light = jnp.asarray(self._default_light(camera), jnp.float32)
+            with timer.stage("raygen_shadow"):
+                sbatch = raygen.shadow(hit_pos, normals, light, self.eps)
+                # dead rays (primary miss): zero-length segment
+                sbatch = RayBatch(sbatch.orig, sbatch.dirn, sbatch.tmin,
+                                  jnp.where(hit_mask, sbatch.tmax, 0.0),
+                                  sbatch.slot_to_id)
+                jax.block_until_ready(sbatch.tmax)
+            with timer.stage("trace_shadow"):
+                stri, *_ = _trace_batched(
+                    trace_stack, self.flat_dev, sbatch, cfg.max_batch_rays, True
+                )
+                jax.block_until_ready(stri)
+            timer.add("rays_shadow", sbatch.num_rays / 1e9)
+            lit = (stri < 0).astype(jnp.float32)
+            color = base_col * (0.25 + 0.75 * lit)[:, None]
+        elif mode in ("ao", "diffuse"):
+            S = cfg.samples
+            with timer.stage(f"raygen_{mode}"):
+                gen = raygen.ao if mode == "ao" else raygen.diffuse
+                # ao_radius is in world units (reference semantics).
+                arg = cfg.ao_radius if mode == "ao" else self.scene_scale * 10.0
+                sec = gen(key, hit_pos, normals, S, jnp.float32(arg), self.eps)
+                sec = RayBatch(sec.orig, sec.dirn, sec.tmin,
+                               jnp.where(jnp.repeat(hit_mask, S), sec.tmax, 0.0),
+                               sec.slot_to_id)
+                if cfg.sort_secondary:
+                    sec = morton_sort_rays(sec, self.scene_lo, self.scene_hi)
+                jax.block_until_ready(sec.tmax)
+            with timer.stage(f"trace_{mode}"):
+                stri, st, su, sv = _trace_batched(
+                    trace_stack, self.flat_dev, sec, cfg.max_batch_rays,
+                    mode == "ao",
+                )
+                jax.block_until_ready(stri)
+            timer.add(f"rays_{mode}", sec.num_rays / 1e9)
+            if cfg.sort_secondary:
+                from ntrace_tpu.ray.raybatch import unsort
+
+                stri = unsort(stri, sec.slot_to_id)
+            if mode == "ao":
+                vis = (stri < 0).astype(jnp.float32).reshape(-1, S).mean(axis=1)
+                color = base_col * vis[:, None]
+            else:
+                bounce_col = self._normal_color(stri).reshape(-1, S, 3).mean(axis=1)
+                color = base_col * 0.5 + bounce_col * 0.5
+        elif mode == "path":
+            color = self._path_trace(key, batch, tri, t, timer)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        with timer.stage("shade"):
+            fb = jnp.zeros((W * H, 3), jnp.float32)
+            fb = fb.at[batch.slot_to_id].set(color)
+            img = np.asarray(fb).reshape(H, W, 3)
+
+        from ntrace_tpu.ray.raybatch import unsort as _unsort
+
+        stats = timer.ms()
+        result = RenderResult(
+            image=img,
+            hit_tri=np.asarray(_unsort(tri, batch.slot_to_id)),
+            hit_t=np.asarray(_unsort(t, batch.slot_to_id)),
+            stats=stats,
+        )
+        # Mrays/s per traced pass (kernel time only, reference convention).
+        for k in list(stats):
+            if k.startswith("rays_"):
+                name = k[5:]
+                tkey = f"trace_{name}" if name != "primary" else "trace_primary"
+                if tkey in stats and stats[tkey] > 0:
+                    result.stats[f"mrays_{name}"] = (
+                        stats[k] * 1e9 / 1e6 / (stats[tkey] / 1e3)
+                    )
+        return result
+
+    def _default_light(self, camera: Camera):
+        if any(self.cfg.light):
+            return np.asarray(self.cfg.light, np.float32)
+        lo, hi = self.scene.bbox()
+        # High-center light slightly toward the camera.
+        c = (lo + hi) / 2
+        return np.array([c[0], hi[1] * 0.95, c[2]], np.float32) * 0.7 + camera.position * 0.3
+
+    def _path_trace(self, key, batch, tri, t, timer):
+        """`bounces`-bounce diffuse path tracing with emissive materials."""
+        cfg = self.cfg
+        R = batch.num_rays
+        throughput = jnp.ones((R, 3), jnp.float32)
+        radiance = jnp.zeros((R, 3), jnp.float32)
+        cur_orig, cur_dirn = batch.orig, batch.dirn
+        cur_tri, cur_t = tri, t
+        alive = cur_tri >= 0
+        # Sky term for primary misses.
+        radiance += jnp.where(alive[:, None], 0.0, 0.05)
+        for b in range(cfg.bounces + 1):
+            mat = self.mat_ids[jnp.maximum(cur_tri, 0)]
+            emis = self.mat_emissive[mat]
+            diff = self.mat_diffuse[mat]
+            radiance += jnp.where(alive[:, None], throughput * emis, 0.0)
+            throughput = throughput * jnp.where(alive[:, None], diff, 0.0)
+            if b == cfg.bounces:
+                break
+            normals = self._unit_normals(cur_tri, cur_dirn)
+            t_safe = jnp.where(alive, cur_t, 0.0)
+            hit_pos = cur_orig + t_safe[:, None] * cur_dirn
+            key, sub = jax.random.split(key)
+            d = raygen.cosine_hemisphere(sub, normals, (R,))
+            o = hit_pos + normals * self.eps
+            nb = RayBatch(o, d, jnp.zeros((R,), jnp.float32),
+                          jnp.where(alive, jnp.float32(self.scene_scale * 10), 0.0),
+                          jnp.arange(R, dtype=jnp.int32))
+            if cfg.sort_secondary:
+                nb = morton_sort_rays(nb, self.scene_lo, self.scene_hi)
+            with timer.stage(f"trace_bounce{b}"):
+                btri, bt, bu, bv = _trace_batched(
+                    trace_stack, self.flat_dev, nb, cfg.max_batch_rays, False
+                )
+                jax.block_until_ready(btri)
+            timer.add(f"rays_bounce{b}", R / 1e9)
+            if cfg.sort_secondary:
+                from ntrace_tpu.ray.raybatch import unsort
+
+                btri = unsort(btri, nb.slot_to_id)
+                bt = unsort(bt, nb.slot_to_id)
+                cur_orig, cur_dirn = o, d
+            else:
+                cur_orig, cur_dirn = nb.orig, nb.dirn
+            # Ambient sky for bounce misses.
+            sky = (btri < 0) & alive
+            radiance += jnp.where(sky[:, None], throughput * 0.8, 0.0)
+            alive = alive & (btri >= 0)
+            cur_tri, cur_t = btri, bt
+        return radiance
+
+
+def render_frame(scene: Scene, camera: Camera | None = None,
+                 cfg: RenderConfig = RenderConfig(),
+                 build_cfg: BuildConfig = BuildConfig()) -> RenderResult:
+    """One-call convenience: build, render, return the frame."""
+    from ntrace_tpu.scenes import default_camera
+
+    camera = camera or default_camera(scene.name)
+    return Renderer(scene, build_cfg, cfg).render(camera)

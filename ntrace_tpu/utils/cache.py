@@ -1,0 +1,66 @@
+"""Content-hashed on-disk caches for built acceleration structures.
+
+~ the reference's binary mesh cache + saved BVH idea (SURVEY.md SS6.4):
+`.npz` caches keyed by (scene content, builder config) so the 10M-triangle
+SBVH builds once per scene revision.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ntrace_tpu.bvh.flatten import FlatBVH
+from ntrace_tpu.core import BuildConfig, Scene
+
+
+def cache_dir() -> Path:
+    d = Path(os.environ.get("NTRACE_CACHE", Path.home() / ".cache" / "ntrace_tpu"))
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+_scene_hash_memo: dict[int, str] = {}
+
+
+def scene_hash(scene: Scene) -> str:
+    key = id(scene)
+    if key in _scene_hash_memo:
+        return _scene_hash_memo[key]
+    h = hashlib.sha1()
+    h.update(scene.positions.tobytes())
+    h.update(scene.indices.tobytes())
+    digest = h.hexdigest()[:16]
+    _scene_hash_memo[key] = digest
+    return digest
+
+
+def accel_cache_key(scene: Scene, cfg: BuildConfig) -> str:
+    cfg_sig = (
+        f"{cfg.builder}|{cfg.max_leaf_size}|{cfg.min_leaf_size}|{cfg.max_depth}"
+        f"|{cfg.sbvh_alpha}|{cfg.num_spatial_bins}|{cfg.num_object_bins}"
+        f"|{cfg.morton_bits}|{cfg.hlbvh_top_bits}|v1"
+    )
+    return hashlib.sha1((scene_hash(scene) + cfg_sig).encode()).hexdigest()[:16]
+
+
+def load_accel(scene: Scene, cfg: BuildConfig) -> FlatBVH | None:
+    p = cache_dir() / f"accel_{accel_cache_key(scene, cfg)}.npz"
+    if not p.exists():
+        return None
+    z = np.load(p)
+    return FlatBVH(
+        nodes=z["nodes"], woop=z["woop"], tri_index=z["tri_index"],
+        num_tris=int(z["num_tris"]), sah_cost=float(z["sah_cost"]),
+    )
+
+
+def save_accel(scene: Scene, cfg: BuildConfig, flat: FlatBVH) -> None:
+    p = cache_dir() / f"accel_{accel_cache_key(scene, cfg)}.npz"
+    tmp = p.with_suffix(".tmp.npz")
+    np.savez(tmp, nodes=flat.nodes, woop=flat.woop, tri_index=flat.tri_index,
+             num_tris=flat.num_tris, sah_cost=flat.sah_cost)
+    os.replace(tmp, p)
