@@ -141,7 +141,7 @@ class Renderer:
                 trace_stack, self.flat_dev, batch, cfg.max_batch_rays, False
             )
             jax.block_until_ready(t)
-        timer.add("rays_primary", batch.num_rays / 1e9)  # stored as Grays
+        timer.add("rays_primary", batch.num_rays / 1e3)  # stats are x1e3: stores rays
 
         hit_mask = tri >= 0
         normals = self._unit_normals(tri, batch.dirn)
@@ -166,7 +166,7 @@ class Renderer:
                     trace_stack, self.flat_dev, sbatch, cfg.max_batch_rays, True
                 )
                 jax.block_until_ready(stri)
-            timer.add("rays_shadow", sbatch.num_rays / 1e9)
+            timer.add("rays_shadow", sbatch.num_rays / 1e3)
             lit = (stri < 0).astype(jnp.float32)
             color = base_col * (0.25 + 0.75 * lit)[:, None]
         elif mode in ("ao", "diffuse"):
@@ -188,7 +188,7 @@ class Renderer:
                     mode == "ao",
                 )
                 jax.block_until_ready(stri)
-            timer.add(f"rays_{mode}", sec.num_rays / 1e9)
+            timer.add(f"rays_{mode}", sec.num_rays / 1e3)
             if cfg.sort_secondary:
                 from ntrace_tpu.ray.raybatch import unsort
 
@@ -224,8 +224,10 @@ class Renderer:
                 name = k[5:]
                 tkey = f"trace_{name}" if name != "primary" else "trace_primary"
                 if tkey in stats and stats[tkey] > 0:
+                    # stats[k] = ray count (ms() scaled the /1e3 back up);
+                    # Mrays/s = rays / 1e6 / seconds.
                     result.stats[f"mrays_{name}"] = (
-                        stats[k] * 1e9 / 1e6 / (stats[tkey] / 1e3)
+                        stats[k] / 1e6 / (stats[tkey] / 1e3)
                     )
         return result
 
@@ -272,7 +274,7 @@ class Renderer:
                     trace_stack, self.flat_dev, nb, cfg.max_batch_rays, False
                 )
                 jax.block_until_ready(btri)
-            timer.add(f"rays_bounce{b}", R / 1e9)
+            timer.add(f"rays_bounce{b}", R / 1e3)
             if cfg.sort_secondary:
                 from ntrace_tpu.ray.raybatch import unsort
 
