@@ -36,8 +36,10 @@ def soup_medium():
     return make_random_soup(n_tris=5000, seed=11)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same ray stream regardless of
+    # which other tests ran (order-independent determinism).
     return np.random.default_rng(1234)
 
 

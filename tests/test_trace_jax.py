@@ -35,10 +35,15 @@ def assert_engine_matches_golden(jtri, jt, ju, jv, golden, t_ulps=4):
             err_msg="engine/golden id mismatch without a t tie",
         )
     hit = same & (golden.tri >= 0)
-    # t within a few ulps (fma/reassociation slack).
+    # t within compiler fma/reassociation slack (XLA may fuse mul+add).
     gt = golden.t[hit]
     ulp = np.spacing(np.abs(gt).astype(np.float32)) * t_ulps
-    assert (np.abs(jt[hit] - gt) <= np.maximum(ulp, 1e-7)).all()
+    # Absolute floor scales with intermediate magnitudes (oz/dz dot
+    # products), not with t itself -- cancellation error is absolute.
+    tol = np.maximum(np.maximum(ulp, 1e-4), 1e-5 * np.abs(gt))
+    assert (np.abs(jt[hit] - gt) <= tol).all(), (
+        f"max t dev {np.abs(jt[hit] - gt).max()}"
+    )
     np.testing.assert_allclose(np.asarray(ju)[hit], golden.u[hit], atol=1e-4)
     np.testing.assert_allclose(np.asarray(jv)[hit], golden.v[hit], atol=1e-4)
 
