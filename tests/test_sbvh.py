@@ -1,0 +1,83 @@
+"""SBVH / binned-SAH builder: quality + correctness under ref duplication."""
+
+import numpy as np
+import pytest
+
+from ntrace_tpu.bvh.flatten import flatten_bvh
+from ntrace_tpu.bvh.golden import brute_force_mt
+from ntrace_tpu.bvh.median import build_median_bvh
+from ntrace_tpu.bvh.sbvh import build_sbvh
+from ntrace_tpu.core import BuildConfig, Scene
+from ntrace_tpu.scenes import get_scene, make_random_soup
+from ntrace_tpu.trace.cpu import trace_cpu_golden
+from tests.conftest import random_rays
+from tests.test_bvh import assert_hits_match_brute
+
+
+@pytest.mark.parametrize("builder", ["binned_sah", "sbvh"])
+class TestQualityBuilders:
+    def test_traversal_matches_brute(self, rng, builder):
+        scene = make_random_soup(n_tris=3000, seed=21)
+        cfg = BuildConfig(builder=builder)
+        bvh = build_sbvh(scene, cfg)
+        bvh.validate(scene.num_tris)
+        flat = flatten_bvh(bvh, scene)
+        o, d, tmin, tmax = random_rays(rng, 1500)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(scene, o, d, tmin, tmax)
+        assert_hits_match_brute(rec, brute)
+
+    def test_structured_scene(self, rng, builder):
+        scene = get_scene("conference", n_tris=6000)
+        bvh = build_sbvh(scene, BuildConfig(builder=builder))
+        flat = flatten_bvh(bvh, scene)
+        o, d, tmin, tmax = random_rays(rng, 800, extent=9.0)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(scene, o, d, tmin, tmax)
+        assert_hits_match_brute(rec, brute)
+
+
+class TestQuality:
+    def test_sah_beats_median(self):
+        """SAH tree cost must be clearly below the median split's."""
+        scene = get_scene("conference", n_tris=8000)
+        cfg = BuildConfig(builder="binned_sah")
+        sah = build_sbvh(scene, cfg).sah_cost()
+        med = build_median_bvh(scene, cfg).sah_cost()
+        assert sah < med * 0.9, f"sah={sah:.1f} median={med:.1f}"
+
+    def test_spatial_splits_duplicate_refs_on_long_diagonals(self):
+        """A scene of long diagonal slivers crossing a dense cluster should
+        trigger spatial splits (tri_order grows beyond num_tris)."""
+        rng = np.random.default_rng(5)
+        # Dense cluster.
+        c = rng.uniform(-1, 1, size=(500, 1, 3))
+        off = rng.normal(scale=0.1, size=(500, 3, 3))
+        v1 = (c + off).astype(np.float32).reshape(-1, 3)
+        # Long diagonals through it.
+        a = rng.uniform(-10, -8, size=(60, 3))
+        b = rng.uniform(8, 10, size=(60, 3))
+        mid = (a + b) / 2 + rng.normal(scale=0.05, size=(60, 3))
+        v2 = np.stack([a, b, mid], axis=1).astype(np.float32).reshape(-1, 3)
+        v = np.concatenate([v1, v2])
+        t = np.arange(v.shape[0], dtype=np.int32).reshape(-1, 3)
+        scene = Scene(v, t, name="slivers")
+        cfg = BuildConfig(builder="sbvh", sbvh_alpha=1e-6)
+        bvh = build_sbvh(scene, cfg)
+        bvh.validate(scene.num_tris)
+        assert bvh.tri_order.shape[0] > scene.num_tris, "no refs duplicated"
+        # Correctness under duplication:
+        flat = flatten_bvh(bvh, scene)
+        rng2 = np.random.default_rng(6)
+        o, d, tmin, tmax = random_rays(rng2, 1000, extent=11.0)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(scene, o, d, tmin, tmax)
+        # Extreme slivers: Woop f32 t error grows with aspect ratio.
+        assert_hits_match_brute(rec, brute, t_rtol=3e-3)
+
+    def test_sbvh_quality_on_slivers(self):
+        """Spatial splits should not be worse than plain SAH on slivers."""
+        scene = get_scene("hairball", n_tris=20000)
+        sbvh = build_sbvh(scene, BuildConfig(builder="sbvh")).sah_cost()
+        plain = build_sbvh(scene, BuildConfig(builder="binned_sah")).sah_cost()
+        assert sbvh <= plain * 1.05, f"sbvh={sbvh:.1f} plain={plain:.1f}"
