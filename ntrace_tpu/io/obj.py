@@ -49,9 +49,23 @@ def _parse_mtl(path: Path) -> dict[str, Material]:
     return mats
 
 
-def load_obj(path: str | os.PathLike) -> Scene:
-    """Parse an OBJ file into a Scene (triangulating polygons fan-wise)."""
+NATIVE_THRESHOLD_BYTES = 1 << 20  # use the C++ parser above 1 MB
+
+
+def load_obj(path: str | os.PathLike, prefer_native: bool = True) -> Scene:
+    """Parse an OBJ file into a Scene (triangulating polygons fan-wise).
+
+    Files above NATIVE_THRESHOLD_BYTES go through the C++ fast path
+    (ntrace_tpu/native/objparse.cpp) when the toolchain is available; the
+    pure-Python parser is the always-available fallback and the
+    correctness reference for the native one.
+    """
     path = Path(path)
+    if prefer_native and path.stat().st_size > NATIVE_THRESHOLD_BYTES:
+        try:
+            return _load_obj_native(path)
+        except Exception:
+            pass  # fall through to the Python parser
     positions: list[list[float]] = []
     normals: list[list[float]] = []
     faces: list[tuple[int, int, int]] = []
@@ -103,6 +117,47 @@ def load_obj(path: str | os.PathLike) -> Scene:
         mat_ids=np.asarray(face_mats, dtype=np.int32),
         materials=materials, name=path.stem,
     )
+
+
+def _load_obj_native(path: str | os.PathLike) -> Scene:
+    from ntrace_tpu.native import native_obj_parse
+
+    path = Path(path)
+    pos, nrm, faces, face_mat, names = native_obj_parse(path)
+    materials = [Material(name=n) for n in names]
+    lut = {n: i for i, n in enumerate(names)}
+    # mtllib declarations live in the header; scan the first MB only so
+    # the native speed win isn't lost to a second full Python pass.
+    head = path.open("rb").read(1 << 20).decode(errors="replace")
+    for line in head.splitlines():
+        parts = line.split()
+        if parts and parts[0] == "mtllib" and len(parts) > 1:
+            for name, mat in _parse_mtl(path.parent / parts[1]).items():
+                if name in lut:
+                    materials[lut[name]] = mat
+    if nrm is not None and len(nrm) != len(pos):
+        nrm = None
+    return Scene(pos, faces, normals=nrm, mat_ids=face_mat,
+                 materials=materials, name=path.stem)
+
+
+def save_obj(scene: Scene, path: str | os.PathLike) -> None:
+    """Export a Scene as OBJ (~ framework/io exportMesh capability)."""
+    path = Path(path)
+    with open(path, "w") as f:
+        f.write(f"# ntrace_tpu export: {scene.name}\n")
+        for v in scene.positions:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        if scene.normals is not None:
+            for v in scene.normals:
+                f.write(f"vn {v[0]} {v[1]} {v[2]}\n")
+        cur = -1
+        for i, tri in enumerate(scene.indices):
+            m = int(scene.mat_ids[i])
+            if m != cur:
+                f.write(f"usemtl {scene.materials[m].name or f'mat{m}'}\n")
+                cur = m
+            f.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
 
 
 def _cache_dir() -> Path:
