@@ -29,6 +29,8 @@ from ntrace_tpu.core import BuildConfig, Camera, RenderConfig, Scene
 from ntrace_tpu.ray import pixel_table, raygen
 from ntrace_tpu.ray.raybatch import RayBatch, morton_sort_rays
 from ntrace_tpu.trace.stack_jax import trace_stack
+from ntrace_tpu.trace.stack2_jax import trace_stack2
+from ntrace_tpu.trace.unified import unify_tables
 from ntrace_tpu.utils.timing import StageTimer
 
 
@@ -67,18 +69,17 @@ def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
     raise ValueError(f"unknown builder {cfg.builder!r}")
 
 
-def _trace_batched(tracer, flat_dev, batch: RayBatch, cap: int, any_hit: bool):
+def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
     """Loop the tracer over <=cap-ray chunks (the in-flight ray cap)."""
     n = batch.num_rays
     if n <= cap:
-        return tracer(*flat_dev, batch.orig, batch.dirn, batch.tmin, batch.tmax,
-                      any_hit=any_hit)
+        return tracer(batch.orig, batch.dirn, batch.tmin, batch.tmax, any_hit)
     outs = []
     for s in range(0, n, cap):
         e = min(s + cap, n)
         outs.append(tracer(
-            *flat_dev, batch.orig[s:e], batch.dirn[s:e],
-            batch.tmin[s:e], batch.tmax[s:e], any_hit=any_hit,
+            batch.orig[s:e], batch.dirn[s:e],
+            batch.tmin[s:e], batch.tmax[s:e], any_hit,
         ))
     return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(4))
 
@@ -92,11 +93,26 @@ class Renderer:
         self.timer = StageTimer()
         with self.timer.stage("build"):
             self.flat = flat if flat is not None else build_accel(scene, build_cfg)
-        self.flat_dev = (
-            jax.device_put(jnp.asarray(self.flat.nodes)),
-            jax.device_put(jnp.asarray(self.flat.woop)),
-            jax.device_put(jnp.asarray(self.flat.tri_index)),
-        )
+        engine = cfg.engine if cfg.engine not in ("auto", "wavefront") else "stack2"
+        self.engine = engine
+        if engine == "stack":
+            self.flat_dev = (
+                jax.device_put(jnp.asarray(self.flat.nodes)),
+                jax.device_put(jnp.asarray(self.flat.woop)),
+                jax.device_put(jnp.asarray(self.flat.tri_index)),
+            )
+
+            def _tracer(o, d, tn, tx, any_hit):
+                return trace_stack(*self.flat_dev, o, d, tn, tx, any_hit=any_hit)
+        else:  # stack2: unified-table engine
+            ut, n_nodes = unify_tables(self.flat)
+            self.ut_dev = jax.device_put(jnp.asarray(ut))
+            self.ut_nodes = n_nodes
+
+            def _tracer(o, d, tn, tx, any_hit):
+                return trace_stack2(self.ut_dev, self.ut_nodes, o, d, tn, tx,
+                                    any_hit=any_hit)
+        self._tracer = _tracer
         gn = scene.geometric_normals()
         self.geom_normals = jax.device_put(jnp.asarray(gn))
         mats = np.stack([np.asarray(m.diffuse, np.float32) for m in scene.materials])
@@ -138,7 +154,7 @@ class Renderer:
             jax.block_until_ready(batch.dirn)
         with timer.stage("trace_primary"):
             tri, t, u, v = _trace_batched(
-                trace_stack, self.flat_dev, batch, cfg.max_batch_rays, False
+                self._tracer, batch, cfg.max_batch_rays, False
             )
             jax.block_until_ready(t)
         timer.add("rays_primary", batch.num_rays / 1e3)  # stats are x1e3: stores rays
@@ -163,7 +179,7 @@ class Renderer:
                 jax.block_until_ready(sbatch.tmax)
             with timer.stage("trace_shadow"):
                 stri, *_ = _trace_batched(
-                    trace_stack, self.flat_dev, sbatch, cfg.max_batch_rays, True
+                    self._tracer, sbatch, cfg.max_batch_rays, True
                 )
                 jax.block_until_ready(stri)
             timer.add("rays_shadow", sbatch.num_rays / 1e3)
@@ -184,7 +200,7 @@ class Renderer:
                 jax.block_until_ready(sec.tmax)
             with timer.stage(f"trace_{mode}"):
                 stri, st, su, sv = _trace_batched(
-                    trace_stack, self.flat_dev, sec, cfg.max_batch_rays,
+                    self._tracer, sec, cfg.max_batch_rays,
                     mode == "ao",
                 )
                 jax.block_until_ready(stri)
@@ -271,7 +287,7 @@ class Renderer:
                 nb = morton_sort_rays(nb, self.scene_lo, self.scene_hi)
             with timer.stage(f"trace_bounce{b}"):
                 btri, bt, bu, bv = _trace_batched(
-                    trace_stack, self.flat_dev, nb, cfg.max_batch_rays, False
+                    self._tracer, nb, cfg.max_batch_rays, False
                 )
                 jax.block_until_ready(btri)
             timer.add(f"rays_bounce{b}", R / 1e3)

@@ -33,17 +33,18 @@ class KernelSpec:
 _REGISTRY = {
     # Reference kernel names (aliases for script compatibility):
     "tesla_persistent_while_while": KernelSpec("stack", 1 << 16),
-    "tesla_persistent_packet": KernelSpec("stack", 1 << 14,
+    "tesla_persistent_packet": KernelSpec("stack2", 1 << 14,
                                           "small screen-coherent chunks"),
-    "tesla_persistent_speculative_while_while": KernelSpec("stack", 1 << 16),
-    "fermi_speculative_while_while": KernelSpec("stack", 1 << 16),
-    "kepler_dynamic_fetch": KernelSpec("stack", 1 << 16),
+    "tesla_persistent_speculative_while_while": KernelSpec("stack2", 1 << 16),
+    "fermi_speculative_while_while": KernelSpec("stack2", 1 << 16),
+    "kepler_dynamic_fetch": KernelSpec("stack2", 1 << 16),
     # Native names:
-    "stack": KernelSpec("stack", 1 << 16),
-    "wavefront": KernelSpec("stack", 1 << 16,
-                            "wavefront engine pending (PERF_NOTES.md)"),
+    "stack": KernelSpec("stack", 1 << 16, "v1 two-table engine"),
+    "stack2": KernelSpec("stack2", 1 << 16, "unified-table macro-step engine"),
+    "wavefront": KernelSpec("stack2", 1 << 16,
+                            "sorted wavefront pending (PERF_NOTES.md)"),
     "cpu_golden": KernelSpec("cpu_golden", 1 << 30),
-    "auto": KernelSpec("stack", 1 << 16),
+    "auto": KernelSpec("stack2", 1 << 16),
 }
 
 

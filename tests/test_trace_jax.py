@@ -136,3 +136,53 @@ class TestRenderer:
         res_pr = render_frame(scene, cfg=RenderConfig(width=32, height=24, mode="primary"))
         ratio = res_ao.image.mean() / res_pr.image.mean()
         assert 0.05 < ratio < 0.98, f"AO ratio {ratio}"
+
+
+class TestStack2Engine:
+    """Unified-table macro-step engine must equal v1 and the golden."""
+
+    @pytest.mark.parametrize("unroll", [1, 8])
+    def test_matches_v1_exactly(self, rng, unroll):
+        from ntrace_tpu.trace.stack2_jax import trace_stack2
+        from ntrace_tpu.trace.unified import unify_tables
+
+        scene = make_random_soup(n_tris=2000, seed=17)
+        flat = flatten_bvh(build_median_bvh(scene), scene)
+        ut, n_nodes = unify_tables(flat)
+        o, d, tmin, tmax = random_rays(rng, 1200)
+        v1 = trace_stack(
+            *_flat_dev(flat), jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tmin), jnp.asarray(tmax),
+        )
+        v2 = trace_stack2(
+            jnp.asarray(ut), n_nodes, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tmin), jnp.asarray(tmax), unroll=unroll,
+        )
+        np.testing.assert_array_equal(np.asarray(v1[0]), np.asarray(v2[0]))
+        np.testing.assert_array_equal(np.asarray(v1[1]), np.asarray(v2[1]))
+        np.testing.assert_array_equal(np.asarray(v1[2]), np.asarray(v2[2]))
+
+    def test_any_hit_matches_brute(self, soup_small, rng):
+        from ntrace_tpu.trace.stack2_jax import trace_stack2
+        from ntrace_tpu.trace.unified import unify_tables
+
+        flat = flatten_bvh(build_median_bvh(soup_small), soup_small)
+        ut, n_nodes = unify_tables(flat)
+        o, d, tmin, tmax = random_rays(rng, 800)
+        jtri, *_ = trace_stack2(
+            jnp.asarray(ut), n_nodes, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(tmin), jnp.asarray(tmax), any_hit=True,
+        )
+        blocked = brute_force_anyhit(soup_small, o, d, tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(jtri) >= 0, blocked)
+
+    def test_renderer_engines_agree(self):
+        from ntrace_tpu.core import BuildConfig, RenderConfig
+        from ntrace_tpu.render import render_frame
+        from ntrace_tpu.scenes import get_scene
+
+        scene = get_scene("conference", n_tris=4000)
+        r1 = render_frame(scene, cfg=RenderConfig(width=48, height=32, engine="stack"))
+        r2 = render_frame(scene, cfg=RenderConfig(width=48, height=32, engine="stack2"))
+        np.testing.assert_array_equal(r1.hit_tri, r2.hit_tri)
+        np.testing.assert_array_equal(r1.image, r2.image)
