@@ -74,14 +74,21 @@ def _device_woopify(tv):
     return w.at[:, 0].set(w[:, 0] + 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_leaf",))
-def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4):
-    """Build a flattened LBVH on device.
+@partial(jax.jit, static_argnames=("max_leaf", "cluster_shift"))
+def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
+                cluster_shift=0):
+    """Build a flattened LBVH (or, for HLBVH, an LBVH FOREST) on device.
 
     tri_lo/tri_hi: (n,3) f32 triangle AABBs; tri_verts: (n,3,3) f32.
+    cluster_shift=0: one tree rooted at node 0 (plain LBVH).
+    cluster_shift=k>0: rows whose (code >> k) differ start independent
+      root segments ("clusters", the HLBVH treelets); the per-cluster
+      subtree roots are reported in cluster_roots (final child encoding:
+      >=0 internal node index, <0 ~woopOffset leaf) for the host to
+      splice under a SAH top tree (bvh/hlbvh.py).
     Returns dict of padded arrays:
       nodes (n-1, 16) f32, woop (2n, 12) f32, tri_index (2n,) i32,
-      counts (node_count, leaf_count) i32.
+      node_count, leaf_count, and forest metadata.
     Unused node/woop rows are zeros / sentinels and are unreferenced.
     """
     n = tri_lo.shape[0]
@@ -93,18 +100,46 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4):
     ncap = max(n - 1, 1)
 
     # --- radix-trie sweep state ---
-    boundary = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    if cluster_shift > 0:
+        top = codes >> cluster_shift
+        prev_top = jnp.concatenate([top[:1] - 1, top[:-1]])
+        boundary = top != prev_top  # row 0 always True (forced diff)
+        ordinal = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+        parent_slot = jnp.where(boundary, -(ordinal + 2), -1)
+    else:
+        boundary = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+        ordinal = jnp.zeros((n,), jnp.int32)
+        parent_slot = jnp.full((n,), -1, jnp.int32)  # at seg-start rows
     terminal = jnp.zeros((n,), jnp.bool_)  # at seg-start rows
-    parent_slot = jnp.full((n,), -1, jnp.int32)  # at seg-start rows
     children = jnp.zeros((ncap, 2), jnp.int32)
+    cluster_roots = jnp.zeros((n,), jnp.int32)
     rng_s = jnp.zeros((ncap,), jnp.int32)
     rng_p = jnp.zeros((ncap,), jnp.int32)
     rng_e = jnp.zeros((ncap,), jnp.int32)
     leaf_first = jnp.zeros((n,), jnp.int32)
     leaf_count = jnp.zeros((n,), jnp.int32)
+    leaf_next0 = jnp.int32(0)
+
+    if cluster_shift > 0:
+        # Clusters already at or below the leaf limit become leaves now
+        # (they would otherwise never be "created" by a split).
+        bkey0 = jnp.where(boundary, iota, n)
+        nb0 = jax.lax.cummin(
+            jnp.concatenate([bkey0[1:], jnp.array([n], jnp.int32)]),
+            axis=0, reverse=True,
+        )
+        cnt0 = nb0 - iota
+        pre = boundary & (cnt0 <= max_leaf)
+        psum = jnp.cumsum(pre.astype(jnp.int32))
+        pidx = psum - 1
+        leaf_first = _mset(leaf_first, pidx, iota, pre)
+        leaf_count = _mset(leaf_count, pidx, cnt0, pre)
+        terminal = _mset(terminal, iota, jnp.ones((n,), jnp.bool_), pre)
+        cluster_roots = _mset(cluster_roots, ordinal, ~pidx, pre)
+        leaf_next0 = psum[-1]
 
     def level(l, st):
-        (boundary, terminal, parent_slot, children,
+        (boundary, terminal, parent_slot, children, cluster_roots,
          rng_s, rng_p, rng_e, leaf_first, leaf_count,
          node_next, leaf_next) = st
         bit = 29 - l
@@ -131,12 +166,15 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4):
         alloc = split.astype(jnp.int32)
         node_idx = node_next + jnp.cumsum(alloc) - 1
 
-        # Link to parent.
+        # Link to parent (or record a cluster root: ps <= -2 marks the
+        # segment as cluster -(ps)-2's root-to-be in forest mode).
         ps = parent_slot
         has_parent = split & (ps >= 0)
         pr = jnp.where(has_parent, ps >> 1, ncap)
         pc = jnp.where(has_parent, ps & 1, 0)
         children = children.at[pr, pc].set(node_idx, mode="drop")
+        is_marker = split & (ps <= -2)
+        cluster_roots = _mset(cluster_roots, -ps - 2, node_idx, is_marker)
 
         rng_s = _mset(rng_s, node_idx, iota, split)
         rng_p = _mset(rng_p, node_idx, p, split)
@@ -175,15 +213,16 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4):
 
         node_next = node_next + alloc.sum()
         leaf_next = leaf_next + lsum[-1] + rsum[-1]
-        return (boundary, terminal, parent_slot, children,
+        return (boundary, terminal, parent_slot, children, cluster_roots,
                 rng_s, rng_p, rng_e, leaf_first, leaf_count,
                 node_next, leaf_next)
 
-    st = (boundary, terminal, parent_slot, children, rng_s, rng_p, rng_e,
-          leaf_first, leaf_count, jnp.int32(0), jnp.int32(0))
+    st = (boundary, terminal, parent_slot, children, cluster_roots,
+          rng_s, rng_p, rng_e, leaf_first, leaf_count,
+          jnp.int32(0), leaf_next0)
     st = jax.lax.fori_loop(0, 30, level, st)
-    (boundary, terminal, parent_slot, children, rng_s, rng_p, rng_e,
-     leaf_first, leaf_count, node_next, leaf_next) = st
+    (boundary, terminal, parent_slot, children, cluster_roots,
+     rng_s, rng_p, rng_e, leaf_first, leaf_count, node_next, leaf_next) = st
 
     # Residual segments (duplicate codes / bits exhausted): force leaves.
     bkey = jnp.where(boundary, iota, n)
@@ -191,15 +230,18 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4):
         jnp.concatenate([bkey[1:], jnp.array([n], jnp.int32)]), axis=0,
         reverse=True,
     )
-    resid = boundary & (~terminal) & (parent_slot >= 0)
+    resid_p = boundary & (~terminal) & (parent_slot >= 0)
+    resid_m = boundary & (~terminal) & (parent_slot <= -2)
+    resid = resid_p | resid_m
     rsum = jnp.cumsum(resid.astype(jnp.int32))
     ridx = leaf_next + rsum - 1
     leaf_first = _mset(leaf_first, ridx, iota, resid)
     leaf_count = _mset(leaf_count, ridx, nb - iota, resid)
     ps = parent_slot
-    pr = jnp.where(resid, ps >> 1, ncap)
-    pc = jnp.where(resid, ps & 1, 0)
+    pr = jnp.where(resid_p, ps >> 1, ncap)
+    pc = jnp.where(resid_p, ps & 1, 0)
     children = children.at[pr, pc].set(~ridx, mode="drop")
+    cluster_roots = _mset(cluster_roots, -ps - 2, ~ridx, resid_m)
     leaf_next = leaf_next + rsum[-1]
 
     # --- bounds: sparse table over sorted tri AABBs ---------------------
@@ -273,8 +315,16 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4):
     tri_index = jnp.full((wcap,), -1, jnp.int32)
     tri_index = tri_index.at[dst].set(order.astype(jnp.int32), mode="drop")
 
+    # Forest metadata: cluster roots in FINAL child encoding.
+    cr_leaf = cluster_roots < 0
+    cr_final = jnp.where(
+        cr_leaf, ~woop_off_leaf[jnp.where(cr_leaf, ~cluster_roots, 0)],
+        cluster_roots,
+    )
     return dict(nodes=nodes, woop=woop, tri_index=tri_index,
-                node_count=node_next, leaf_count=leaf_next)
+                node_count=node_next, leaf_count=leaf_next,
+                cluster_roots=cr_final, cluster_ids=ordinal, order=order,
+                n_clusters=ordinal[-1] + 1)
 
 
 def build_lbvh_flat(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatBVH:

@@ -43,14 +43,22 @@ def _area(lo, hi):
 
 
 class _Builder:
-    def __init__(self, scene: Scene, cfg: BuildConfig):
+    def __init__(self, scene: Scene | None, cfg: BuildConfig,
+                 boxes: tuple[np.ndarray, np.ndarray] | None = None):
         self.cfg = cfg
-        tv = scene.tri_verts().astype(np.float32)
-        n = scene.num_tris
-        # Reference list (grows under spatial splits).
-        self.ref_tri = np.arange(n, dtype=np.int32)
-        self.ref_lo = tv.min(axis=1)
-        self.ref_hi = tv.max(axis=1)
+        if boxes is not None:
+            self.ref_lo, self.ref_hi = (
+                np.asarray(boxes[0], np.float32), np.asarray(boxes[1], np.float32)
+            )
+            n = self.ref_lo.shape[0]
+            self.ref_tri = np.arange(n, dtype=np.int32)
+        else:
+            tv = scene.tri_verts().astype(np.float32)
+            n = scene.num_tris
+            # Reference list (grows under spatial splits).
+            self.ref_tri = np.arange(n, dtype=np.int32)
+            self.ref_lo = tv.min(axis=1)
+            self.ref_hi = tv.max(axis=1)
         root_lo = self.ref_lo.min(axis=0)
         root_hi = self.ref_hi.max(axis=0)
         self.min_overlap = cfg.sbvh_alpha * _area(root_lo, root_hi)
@@ -302,6 +310,31 @@ def build_sbvh(scene: Scene, cfg: BuildConfig = BuildConfig(builder="sbvh")) -> 
         from ntrace_tpu.bvh.median import build_median_bvh
 
         return build_median_bvh(scene, cfg)
+    return HostBVH(
+        child=np.asarray(b.child_rows, dtype=np.int32),
+        child_lo=np.stack(b.child_lo).astype(np.float32),
+        child_hi=np.stack(b.child_hi).astype(np.float32),
+        leaf_first=np.asarray(b.leaf_first, dtype=np.int32),
+        leaf_count=np.asarray(b.leaf_count, dtype=np.int32),
+        tri_order=np.concatenate(b.order_parts).astype(np.int32),
+    )
+
+
+def build_sah_over_boxes(lo: np.ndarray, hi: np.ndarray,
+                         cfg: BuildConfig) -> HostBVH:
+    """Binned-SAH tree over arbitrary boxes, ONE box per leaf.
+
+    Used as the HLBVH top tree: boxes are Morton-cluster AABBs and leaf
+    "triangle" ids are cluster ids (~ the reference HLBVH's SAH top-tree
+    over coarse clusters, SURVEY.md SS4.4).
+    """
+    import dataclasses
+
+    top_cfg = dataclasses.replace(cfg, builder="binned_sah",
+                                  min_leaf_size=1, max_leaf_size=1)
+    b = _Builder(None, top_cfg, boxes=(lo, hi))
+    root = b.build(np.arange(lo.shape[0], dtype=np.int64), 0)
+    assert root >= 0, "top tree must have an internal root (>=2 boxes)"
     return HostBVH(
         child=np.asarray(b.child_rows, dtype=np.int32),
         child_lo=np.stack(b.child_lo).astype(np.float32),

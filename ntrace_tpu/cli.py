@@ -73,6 +73,8 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--cache", action="store_true",
                    help="use the on-disk accel cache")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the measured passes")
 
 
 def _make_renderer(args, mode: str):
@@ -105,10 +107,18 @@ def cmd_benchmark(args) -> int:
         for mode in modes:
             per_pass = []
             total = args.warmup_repeats + args.measure_repeats
+            prof = None
             for i in range(total):
+                if args.profile and i == args.warmup_repeats:
+                    import jax
+
+                    prof = jax.profiler.trace(args.profile)
+                    prof.__enter__()
                 res = renderer.render(cam, mode=mode)
                 if i >= args.warmup_repeats:
                     per_pass.append(res.stats)
+            if prof is not None:
+                prof.__exit__(None, None, None)
             # Reference convention: best measured pass, kernel time only.
             def best(key):
                 vals = [p[key] for p in per_pass if key in p]

@@ -57,10 +57,14 @@ def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
     if cfg.builder in ("median", "golden"):
         bvh = build_median_bvh(scene, cfg)
         return flatten_bvh(bvh, scene)
-    if cfg.builder in ("lbvh", "hlbvh"):
+    if cfg.builder == "lbvh":
         from ntrace_tpu.bvh.lbvh import build_lbvh_flat
 
         return build_lbvh_flat(scene, cfg)
+    if cfg.builder == "hlbvh":
+        from ntrace_tpu.bvh.hlbvh import build_hlbvh_flat
+
+        return build_hlbvh_flat(scene, cfg)
     if cfg.builder in ("sbvh", "binned_sah"):
         from ntrace_tpu.bvh.sbvh import build_sbvh
 
@@ -70,18 +74,33 @@ def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
 
 
 def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
-    """Loop the tracer over <=cap-ray chunks (the in-flight ray cap)."""
+    """Loop the tracer over <=cap-ray chunks (the in-flight ray cap).
+
+    Device OOM retries with a halved cap (SURVEY.md SS6.3: the benchmark
+    harness's failure-handling policy) down to a 4k floor.
+    """
+    import sys
+
     n = batch.num_rays
-    if n <= cap:
-        return tracer(batch.orig, batch.dirn, batch.tmin, batch.tmax, any_hit)
-    outs = []
-    for s in range(0, n, cap):
-        e = min(s + cap, n)
-        outs.append(tracer(
-            batch.orig[s:e], batch.dirn[s:e],
-            batch.tmin[s:e], batch.tmax[s:e], any_hit,
-        ))
-    return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(4))
+    while True:
+        try:
+            if n <= cap:
+                return tracer(batch.orig, batch.dirn, batch.tmin, batch.tmax,
+                              any_hit)
+            outs = []
+            for s in range(0, n, cap):
+                e = min(s + cap, n)
+                outs.append(tracer(
+                    batch.orig[s:e], batch.dirn[s:e],
+                    batch.tmin[s:e], batch.tmax[s:e], any_hit,
+                ))
+            return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(4))
+        except Exception as err:  # jaxlib.XlaRuntimeError has no stable path
+            if "RESOURCE_EXHAUSTED" not in str(err) or cap <= 4096:
+                raise
+            cap //= 2
+            print(f"[renderer] device OOM; retrying with ray cap {cap}",
+                  file=sys.stderr)
 
 
 class Renderer:

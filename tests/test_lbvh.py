@@ -97,3 +97,54 @@ class TestLBVHTraversal:
         rec = trace_cpu_golden(flat, o, d, tmin, tmax)
         brute = brute_force_mt(scene, o, d, tmin, tmax)
         assert_hits_match_brute(rec, brute, t_rtol=2e-4)
+
+
+class TestHLBVH:
+    @pytest.mark.parametrize("n_tris,max_leaf", [(2000, 4), (8000, 8)])
+    def test_matches_brute_force(self, rng, n_tris, max_leaf):
+        from ntrace_tpu.bvh.hlbvh import build_hlbvh_flat
+
+        scene = make_random_soup(n_tris=n_tris, seed=23)
+        flat = build_hlbvh_flat(
+            scene, BuildConfig(builder="hlbvh", max_leaf_size=max_leaf)
+        )
+        o, d, tmin, tmax = random_rays(rng, 1200)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(scene, o, d, tmin, tmax)
+        assert (rec.tri >= 0).mean() > 0.1
+        assert_hits_match_brute(rec, brute, t_rtol=2e-4)
+
+    def test_structure_and_coverage(self):
+        from ntrace_tpu.bvh.flatten import flat_children
+        from ntrace_tpu.bvh.hlbvh import build_hlbvh_flat
+
+        scene = get_scene("fairy", n_tris=5000)
+        flat = build_hlbvh_flat(scene, BuildConfig(builder="hlbvh"))
+        ch = flat_children(flat)
+        n_nodes = flat.nodes.shape[0]
+        inner = ch[ch >= 0]
+        assert (inner < n_nodes).all() and (inner > 0).all()
+        counts = np.bincount(inner, minlength=n_nodes)
+        assert counts[0] == 0 and (counts[1:] == 1).all(), "not a tree"
+        ids = flat.tri_index[flat.tri_index >= 0]
+        assert np.array_equal(np.sort(ids), np.arange(scene.num_tris))
+
+    def test_renders_identically_to_other_builders(self):
+        from ntrace_tpu.core import RenderConfig
+        from ntrace_tpu.render import render_frame
+
+        scene = get_scene("conference", n_tris=4000)
+        r_h = render_frame(scene, cfg=RenderConfig(width=48, height=32),
+                           build_cfg=BuildConfig(builder="hlbvh"))
+        r_m = render_frame(scene, cfg=RenderConfig(width=48, height=32),
+                           build_cfg=BuildConfig(builder="median"))
+        np.testing.assert_array_equal(r_h.hit_tri, r_m.hit_tri)
+
+    def test_single_cluster_falls_back(self):
+        """Tiny tight scene (one Morton cluster) must still build."""
+        from ntrace_tpu.bvh.hlbvh import build_hlbvh_flat
+
+        scene = make_random_soup(n_tris=50, seed=2, extent=0.001)
+        flat = build_hlbvh_flat(scene, BuildConfig(builder="hlbvh"))
+        ids = flat.tri_index[flat.tri_index >= 0]
+        assert np.array_equal(np.sort(ids), np.arange(scene.num_tris))
