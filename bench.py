@@ -12,13 +12,30 @@ workload character) is used -- see ntrace_tpu/scenes/procedural.py.
 
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _watchdog(signum, frame):
+    # The axon TPU tunnel can wedge indefinitely (PERF_NOTES.md); emit an
+    # honest zero record rather than hanging the driver forever.
+    print(json.dumps({
+        "metric": "conference_primary_mrays",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "error": "watchdog: device did not respond within time budget",
+    }))
+    sys.stdout.flush()
+    os._exit(2)
+
+
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(int(os.environ.get("NTRACE_BENCH_TIMEOUT", 2400)))
     import jax
 
     from ntrace_tpu.core import BuildConfig, RenderConfig
