@@ -47,6 +47,7 @@ def main():
     width = int(os.environ.get("NTRACE_BENCH_W", 1024))
     height = int(os.environ.get("NTRACE_BENCH_H", 768))
     engine = os.environ.get("NTRACE_BENCH_ENGINE", "auto")
+    builder = os.environ.get("NTRACE_BENCH_BUILDER", "binned_sah")
 
     print(f"[bench] platform={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
@@ -54,7 +55,7 @@ def main():
     print(f"[bench] scene={scene.name} tris={scene.num_tris} "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)
 
-    build_cfg = BuildConfig(builder="median")
+    build_cfg = BuildConfig(builder=builder, max_leaf_size=8)
     flat = build_accel(scene, build_cfg, use_cache=True)
     print(f"[bench] accel nodes={flat.nodes.shape[0]} sah={flat.sah_cost:.1f} "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)

@@ -62,7 +62,7 @@ def _reassemble(out_i32, c):
 @functools.partial(
     jax.jit, static_argnames=("n_rows", "c", "page", "tile", "interpret")
 )
-def paged_gather_bytes(table_bytes, idx, *, n_rows, c, page=512, tile=512,
+def paged_gather_bytes(table_bytes, idx, *, n_rows, c, page=512, tile=1024,
                        interpret=False):
     """table_bytes (Np, 4C) i8 (pre-split, padded to page multiple),
     idx (Q,) i32 in [0, n_rows) -> (Q, C) f32 == original table[idx].
@@ -105,6 +105,7 @@ def paged_gather_bytes(table_bytes, idx, *, n_rows, c, page=512, tile=512,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
+            # 1D s32 operands must use 1024-element blocks (Mosaic tiling).
             pl.BlockSpec((tile,), lambda i, tp: (i,)),
             pl.BlockSpec((page, c4), lambda i, tp: (tp[i], 0)),
         ],
@@ -126,7 +127,7 @@ def paged_gather_bytes(table_bytes, idx, *, n_rows, c, page=512, tile=512,
 class GatherTable:
     """Pre-split table wrapper: build once, gather many times."""
 
-    def __init__(self, table: np.ndarray, page: int = 512, tile: int = 512):
+    def __init__(self, table: np.ndarray, page: int = 512, tile: int = 1024):
         table = jnp.asarray(table, jnp.float32)
         self.n_rows, self.c = int(table.shape[0]), int(table.shape[1])
         self.page = page

@@ -28,6 +28,7 @@ from ntrace_tpu.bvh.median import build_median_bvh
 from ntrace_tpu.core import BuildConfig, Camera, RenderConfig, Scene
 from ntrace_tpu.ray import pixel_table, raygen
 from ntrace_tpu.ray.raybatch import RayBatch, morton_sort_rays
+from ntrace_tpu.trace.persistent import trace_persistent
 from ntrace_tpu.trace.stack_jax import trace_stack
 from ntrace_tpu.trace.stack2_jax import trace_stack2
 from ntrace_tpu.trace.unified import unify_tables
@@ -123,14 +124,26 @@ class Renderer:
 
             def _tracer(o, d, tn, tx, any_hit):
                 return trace_stack(*self.flat_dev, o, d, tn, tx, any_hit=any_hit)
-        else:  # stack2: unified-table engine
+        else:  # stack2: unified-table engine, one dispatch per batch
             ut, n_nodes = unify_tables(self.flat)
             self.ut_dev = jax.device_put(jnp.asarray(ut))
             self.ut_nodes = n_nodes
+            chunk = min(cfg.max_batch_rays, 1 << 14)
 
             def _tracer(o, d, tn, tx, any_hit):
-                return trace_stack2(self.ut_dev, self.ut_nodes, o, d, tn, tx,
-                                    any_hit=any_hit)
+                r = o.shape[0]
+                if r <= chunk:
+                    return trace_stack2(self.ut_dev, self.ut_nodes, o, d,
+                                        tn, tx, any_hit=any_hit)
+                pad = (-r) % chunk
+                if pad:
+                    o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                    d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+                    tn = jnp.concatenate([tn, jnp.zeros((pad,), tn.dtype)])
+                    tx = jnp.concatenate([tx, jnp.zeros((pad,), tx.dtype)])
+                out = trace_persistent(self.ut_dev, self.ut_nodes, o, d, tn, tx,
+                                       any_hit=any_hit, chunk=chunk)
+                return tuple(x[:r] for x in out)
         self._tracer = _tracer
         gn = scene.geometric_normals()
         self.geom_normals = jax.device_put(jnp.asarray(gn))
@@ -144,6 +157,13 @@ class Renderer:
         self.scene_hi = jnp.asarray(hi)
         self.scene_scale = float(np.linalg.norm(hi - lo))
         self.eps = jnp.float32(self.scene_scale * 1e-4)
+
+    def _cap(self):
+        """Per-dispatch ray cap: the persistent stack2 tracer chunks
+        internally, so it takes whole batches (up to a 4M safety cap)."""
+        if self.engine == "stack":
+            return self.cfg.max_batch_rays
+        return max(self.cfg.max_batch_rays, 1 << 22)
 
     # -- shading helpers (all jitted via callers) -------------------------
 
@@ -173,7 +193,7 @@ class Renderer:
             jax.block_until_ready(batch.dirn)
         with timer.stage("trace_primary"):
             tri, t, u, v = _trace_batched(
-                self._tracer, batch, cfg.max_batch_rays, False
+                self._tracer, batch, self._cap(), False
             )
             jax.block_until_ready(t)
         timer.add("rays_primary", batch.num_rays / 1e3)  # stats are x1e3: stores rays
@@ -198,7 +218,7 @@ class Renderer:
                 jax.block_until_ready(sbatch.tmax)
             with timer.stage("trace_shadow"):
                 stri, *_ = _trace_batched(
-                    self._tracer, sbatch, cfg.max_batch_rays, True
+                    self._tracer, sbatch, self._cap(), True
                 )
                 jax.block_until_ready(stri)
             timer.add("rays_shadow", sbatch.num_rays / 1e3)
@@ -219,7 +239,7 @@ class Renderer:
                 jax.block_until_ready(sec.tmax)
             with timer.stage(f"trace_{mode}"):
                 stri, st, su, sv = _trace_batched(
-                    self._tracer, sec, cfg.max_batch_rays,
+                    self._tracer, sec, self._cap(),
                     mode == "ao",
                 )
                 jax.block_until_ready(stri)
@@ -306,7 +326,7 @@ class Renderer:
                 nb = morton_sort_rays(nb, self.scene_lo, self.scene_hi)
             with timer.stage(f"trace_bounce{b}"):
                 btri, bt, bu, bv = _trace_batched(
-                    self._tracer, nb, cfg.max_batch_rays, False
+                    self._tracer, nb, self._cap(), False
                 )
                 jax.block_until_ready(btri)
             timer.add(f"rays_bounce{b}", R / 1e3)
