@@ -1,9 +1,14 @@
-"""fast row-gather: `table[idx]` without XLA's slow TPU gather.
+"""Paged one-hot MXU row-gather -- a documented NEGATIVE result.
 
-Motivation (measured on v5e, see bench notes in git history): XLA lowers
-row gathers to ~4 ms per 1M x 64B fetched (~16 GB/s effective) -- two
-orders of magnitude under streaming bandwidth, and THE bottleneck of any
-BVH traversal. This module rebuilds gather from TPU-fast primitives:
+Hypothesis: XLA TPU row gathers (~8 ns/row, PERF_NOTES.md) could be beaten
+by rebuilding gather from sort + scan + int8 one-hot matmuls on the MXU.
+Measured on the real v5e (scalar-out chained protocol): bit-exact but
+~111 ms per 1M rows vs XLA's ~8 ms -- 14x SLOWER, dominated by per-tile
+grid-step overhead at the (1024,512)x(512,64) shapes a 16-column record
+table forces. KEPT (tested, working) as the measured baseline for future
+revisits with fused multi-tile kernels; do NOT wire it into engines as-is.
+
+The mechanism:
 
   1. sort (idx, slot) pairs by row id            (lax.sort: ~0.05 ms / 1M)
   2. group sorted items into tiles that each touch ONE page of the table

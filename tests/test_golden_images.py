@@ -15,22 +15,17 @@ from ntrace_tpu.io.image import checksum
 from ntrace_tpu.render import render_frame
 from ntrace_tpu.scenes import get_scene
 
-# CPU-backend hashes (conftest pins JAX_PLATFORMS=cpu). The TPU may differ
-# by fma contraction; TPU golden hashes land with the TPU CI lane.
-GOLDEN = {
-    "primary": None,  # filled by the recording run below
-    "shadow": None,
-    "ao": None,
-    "diffuse": None,
-    "path": None,
-}
+# The five modes under regression. Cross-run determinism and cross-builder
+# identity are asserted (robust to backend fma differences); absolute
+# per-backend hashes can be pinned once a TPU CI lane exists.
+MODES = ["primary", "shadow", "ao", "diffuse", "path"]
 
 
 @pytest.fixture(scope="module")
 def frames():
     scene = get_scene("conference", n_tris=4000)
     out = {}
-    for mode in GOLDEN:
+    for mode in MODES:
         cfg = RenderConfig(width=64, height=48, mode=mode, samples=2,
                            ao_radius=1.5, seed=7)
         out[mode] = render_frame(scene, cfg=cfg,
