@@ -28,7 +28,9 @@ from ntrace_tpu.bvh.median import build_median_bvh
 from ntrace_tpu.core import BuildConfig, Camera, RenderConfig, Scene
 from ntrace_tpu.ray import pixel_table, raygen
 from ntrace_tpu.ray.raybatch import RayBatch, morton_sort_rays
+from ntrace_tpu.bvh.wide import build_wide_table
 from ntrace_tpu.trace.persistent import trace_persistent
+from ntrace_tpu.trace.wide_jax import trace_wide
 from ntrace_tpu.trace.stack_jax import trace_stack
 from ntrace_tpu.trace.stack2_jax import trace_stack2
 from ntrace_tpu.trace.unified import unify_tables
@@ -124,11 +126,28 @@ class Renderer:
 
             def _tracer(o, d, tn, tx, any_hit):
                 return trace_stack(*self.flat_dev, o, d, tn, tx, any_hit=any_hit)
+        elif engine == "bvh8":  # 8-wide one-dispatch engine
+            wt = build_wide_table(self.flat)
+            self.wt_dev = jax.device_put(jnp.asarray(wt.table))
+            self.wt_nodes = wt.n_node_rows
+            chunk = min(cfg.max_batch_rays, 1 << 13)
+
+            def _tracer(o, d, tn, tx, any_hit):
+                r = o.shape[0]
+                pad = (-r) % chunk
+                if pad:
+                    o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                    d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+                    tn = jnp.concatenate([tn, jnp.zeros((pad,), tn.dtype)])
+                    tx = jnp.concatenate([tx, jnp.zeros((pad,), tx.dtype)])
+                out = trace_wide(self.wt_dev, self.wt_nodes, o, d, tn, tx,
+                                 any_hit=any_hit, chunk=chunk)
+                return tuple(x[:r] for x in out)
         else:  # stack2: unified-table engine, one dispatch per batch
             ut, n_nodes = unify_tables(self.flat)
             self.ut_dev = jax.device_put(jnp.asarray(ut))
             self.ut_nodes = n_nodes
-            chunk = min(cfg.max_batch_rays, 1 << 14)
+            chunk = min(cfg.max_batch_rays, 1 << 13)  # measured optimum
 
             def _tracer(o, d, tn, tx, any_hit):
                 r = o.shape[0]

@@ -104,8 +104,9 @@ def traversal_step_unified(ns, utable, n_nodes, orig, dirn, inv_dir, tmin,
         m = np.asarray(push)
         new_stack[rows[m], slot[m]] = far[m]
     else:
-        prev = stack[rows, slot]
-        new_stack = stack.at[rows, slot].set(ns.where(push, far, prev))
+        # Drop-mode scatter avoids the read-modify-write row gather.
+        oslot = ns.where(push, slot, STACK_DEPTH)
+        new_stack = stack.at[rows, oslot].set(far, mode="drop")
 
     return TraceState(
         cur=new_cur, sp=new_sp, stack=new_stack,
