@@ -61,7 +61,7 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--kernel", default="auto",
                    help="kernel/engine name (reference names accepted)")
     p.add_argument("--builder", default="median",
-                   choices=["median", "binned_sah", "sbvh", "lbvh", "hlbvh"])
+                   choices=["median", "binned_sah", "sbvh", "lbvh", "hlbvh", "kdtree"])
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--samples", type=int, default=4,

@@ -68,6 +68,10 @@ def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
         from ntrace_tpu.bvh.hlbvh import build_hlbvh_flat
 
         return build_hlbvh_flat(scene, cfg)
+    if cfg.builder == "kdtree":
+        from ntrace_tpu.bvh.kdtree import build_kdtree
+
+        return build_kdtree(scene, cfg)
     if cfg.builder in ("sbvh", "binned_sah"):
         from ntrace_tpu.bvh.sbvh import build_sbvh
 
@@ -116,6 +120,15 @@ class Renderer:
         with self.timer.stage("build"):
             self.flat = flat if flat is not None else build_accel(scene, build_cfg)
         engine = cfg.engine if cfg.engine not in ("auto", "wavefront") else "stack2"
+        from ntrace_tpu.bvh.kdtree import FlatKDTree
+
+        if isinstance(self.flat, FlatKDTree):
+            engine = "kdtree"
+        elif engine == "kdtree":
+            # kd engine needs a kd accel; rebuild regardless of given flat.
+            from ntrace_tpu.bvh.kdtree import build_kdtree
+
+            self.flat = build_kdtree(scene, build_cfg)
         self.engine = engine
         if engine == "stack":
             self.flat_dev = (
@@ -126,6 +139,27 @@ class Renderer:
 
             def _tracer(o, d, tn, tx, any_hit):
                 return trace_stack(*self.flat_dev, o, d, tn, tx, any_hit=any_hit)
+        elif engine == "kdtree":
+            from ntrace_tpu.trace.kdtree_jax import trace_kd
+
+            ut, n_nodes = unify_tables(self.flat)
+            self.ut_dev = jax.device_put(jnp.asarray(ut))
+            self.ut_nodes = n_nodes
+            kd_lo = jnp.asarray(self.flat.root_lo)
+            kd_hi = jnp.asarray(self.flat.root_hi)
+            chunk = min(cfg.max_batch_rays, 1 << 13)
+
+            def _tracer(o, d, tn, tx, any_hit):
+                r = o.shape[0]
+                pad = (-r) % chunk
+                if pad:
+                    o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                    d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+                    tn = jnp.concatenate([tn, jnp.zeros((pad,), tn.dtype)])
+                    tx = jnp.concatenate([tx, jnp.zeros((pad,), tx.dtype)])
+                out = trace_kd(self.ut_dev, self.ut_nodes, kd_lo, kd_hi,
+                               o, d, tn, tx, any_hit=any_hit, chunk=chunk)
+                return tuple(x[:r] for x in out)
         elif engine == "bvh8":  # 8-wide one-dispatch engine
             wt = build_wide_table(self.flat)
             self.wt_dev = jax.device_put(jnp.asarray(wt.table))

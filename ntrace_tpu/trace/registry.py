@@ -38,9 +38,13 @@ _REGISTRY = {
     "tesla_persistent_speculative_while_while": KernelSpec("stack2", 1 << 16),
     "fermi_speculative_while_while": KernelSpec("stack2", 1 << 16),
     "kepler_dynamic_fetch": KernelSpec("stack2", 1 << 16),
+    "fermi_kdtree_while_while": KernelSpec("kdtree", 1 << 13,
+                                           "pair with --builder=kdtree"),
     # Native names:
     "stack": KernelSpec("stack", 1 << 16, "v1 two-table engine"),
     "stack2": KernelSpec("stack2", 1 << 16, "unified-table macro-step engine"),
+    "bvh8": KernelSpec("bvh8", 1 << 13, "8-wide one-dispatch engine"),
+    "kdtree": KernelSpec("kdtree", 1 << 13, "interval-stack kd engine"),
     "wavefront": KernelSpec("stack2", 1 << 16,
                             "sorted wavefront pending (PERF_NOTES.md)"),
     "cpu_golden": KernelSpec("cpu_golden", 1 << 30),
