@@ -181,7 +181,7 @@ def cmd_info(args) -> int:
     print("scenes: ", ", ".join(sorted(SCENE_REGISTRY)))
     print("kernels:", ", ".join(kernel_names()))
     print("builders: median, binned_sah, sbvh, lbvh, hlbvh")
-    print("modes:   primary, shadow, ao, diffuse, path")
+    print("modes:   primary, shadow, ao, diffuse, path, textured")
     return 0
 
 
@@ -193,7 +193,7 @@ def main(argv=None) -> int:
     b = sub.add_parser("benchmark", help="scripted benchmark mode")
     _common_flags(b)
     b.add_argument("--mode", default="primary",
-                   help="comma list: primary,shadow,ao,diffuse,path")
+                   help="comma list: primary,shadow,ao,diffuse,path,textured")
     b.add_argument("--warmup-repeats", type=int, default=1, dest="warmup_repeats")
     b.add_argument("--measure-repeats", type=int, default=2, dest="measure_repeats")
     b.add_argument("--log", default=None, help="text log file")

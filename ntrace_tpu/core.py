@@ -35,6 +35,7 @@ class Material:
     specular: tuple = (0.0, 0.0, 0.0)
     emissive: tuple = (0.0, 0.0, 0.0)
     glossiness: float = 0.0
+    texture: str = ""  # map_Kd path (resolved relative to the OBJ)
     name: str = ""
 
 
@@ -56,6 +57,7 @@ class Scene:
     mat_ids: np.ndarray | None = None
     materials: list = field(default_factory=lambda: [Material()])
     name: str = "scene"
+    uvs: np.ndarray | None = None  # (M, 3, 2) float32 per-corner texcoords
 
     def __post_init__(self):
         self.positions = np.ascontiguousarray(self.positions, dtype=np.float32)
@@ -66,6 +68,8 @@ class Scene:
             self.mat_ids = np.ascontiguousarray(self.mat_ids, dtype=np.int32)
         if self.normals is not None:
             self.normals = np.ascontiguousarray(self.normals, dtype=np.float32)
+        if self.uvs is not None:
+            self.uvs = np.ascontiguousarray(self.uvs, dtype=np.float32)
 
     @property
     def num_tris(self) -> int:

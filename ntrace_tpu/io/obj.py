@@ -46,6 +46,8 @@ def _parse_mtl(path: Path) -> dict[str, Material]:
                 cur.emissive = rgb
         elif cur is not None and key == "Ns" and len(parts) >= 2:
             cur.glossiness = float(parts[1])
+        elif cur is not None and key == "map_Kd" and len(parts) >= 2:
+            cur.texture = str(path.parent / parts[-1])
     return mats
 
 
@@ -68,7 +70,9 @@ def load_obj(path: str | os.PathLike, prefer_native: bool = True) -> Scene:
             pass  # fall through to the Python parser
     positions: list[list[float]] = []
     normals: list[list[float]] = []
+    texcoords: list[list[float]] = []
     faces: list[tuple[int, int, int]] = []
+    face_uvs: list[tuple[int, int, int]] = []
     face_mats: list[int] = []
     materials: list[Material] = [Material(name="default")]
     mat_lut: dict[str, int] = {"default": 0}
@@ -89,11 +93,21 @@ def load_obj(path: str | os.PathLike, prefer_native: bool = True) -> Scene:
                 positions.append([float(parts[1]), float(parts[2]), float(parts[3])])
             elif key == "vn":
                 normals.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif key == "vt":
+                texcoords.append([float(parts[1]),
+                                  float(parts[2]) if len(parts) > 2 else 0.0])
             elif key == "f":
                 nv = len(positions)
+                nt = len(texcoords)
                 idx = [resolve(int(p.split("/")[0]), nv) for p in parts[1:]]
+                uvi = []
+                for p in parts[1:]:
+                    bits = p.split("/")
+                    uvi.append(resolve(int(bits[1]), nt)
+                               if len(bits) > 1 and bits[1] else -1)
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     faces.append((idx[0], idx[k], idx[k + 1]))
+                    face_uvs.append((uvi[0], uvi[k], uvi[k + 1]))
                     face_mats.append(cur_mat)
             elif key == "usemtl" and len(parts) > 1:
                 name = parts[1]
@@ -112,10 +126,16 @@ def load_obj(path: str | os.PathLike, prefer_native: bool = True) -> Scene:
     pos = np.asarray(positions, dtype=np.float32)
     tris = np.asarray(faces, dtype=np.int32)
     nrm = np.asarray(normals, dtype=np.float32) if len(normals) == len(positions) else None
+    uvs = None
+    if texcoords and face_uvs:
+        tc = np.asarray(texcoords, dtype=np.float32)
+        fi = np.asarray(face_uvs, dtype=np.int64)
+        uvs = np.where(fi[..., None] >= 0, tc[np.maximum(fi, 0)], 0.0)
+        uvs = uvs.astype(np.float32)
     return Scene(
         pos, tris, normals=nrm,
         mat_ids=np.asarray(face_mats, dtype=np.int32),
-        materials=materials, name=path.stem,
+        materials=materials, name=path.stem, uvs=uvs,
     )
 
 
@@ -171,15 +191,17 @@ def load_scene_cached(path: str | os.PathLike) -> Scene:
     path = Path(path)
     stat = path.stat()
     key = hashlib.sha1(
-        f"{path.resolve()}|{stat.st_size}|{stat.st_mtime_ns}|v1".encode()
+        f"{path.resolve()}|{stat.st_size}|{stat.st_mtime_ns}|v2".encode()
     ).hexdigest()[:16]
     cache = _cache_dir() / f"mesh_{key}.npz"
     if cache.exists():
         z = np.load(cache, allow_pickle=True)
         mats = [Material(**m) for m in z["materials"].tolist()]
         nrm = z["normals"] if z["normals"].size else None
+        uvs = z["uvs"] if "uvs" in z and z["uvs"].size else None
         return Scene(z["positions"], z["indices"], normals=nrm,
-                     mat_ids=z["mat_ids"], materials=mats, name=str(z["name"]))
+                     mat_ids=z["mat_ids"], materials=mats, name=str(z["name"]),
+                     uvs=uvs)
     scene = load_obj(path)
     np.savez_compressed(
         cache,
@@ -189,5 +211,6 @@ def load_scene_cached(path: str | os.PathLike) -> Scene:
         mat_ids=scene.mat_ids,
         materials=np.array([vars(m) for m in scene.materials], dtype=object),
         name=scene.name,
+        uvs=scene.uvs if scene.uvs is not None else np.zeros((0, 3, 2), np.float32),
     )
     return scene

@@ -260,6 +260,24 @@ class Renderer:
 
         if mode == "primary":
             color = base_col
+        elif mode == "textured":
+            from ntrace_tpu.render.texture import (
+                build_atlas, interpolate_uv, sample_atlas,
+            )
+
+            if not hasattr(self, "_atlas"):
+                self._atlas = jax.device_put(
+                    jnp.asarray(build_atlas(self.scene.materials))
+                )
+                uvs = (self.scene.uvs if self.scene.uvs is not None
+                       else np.zeros((self.scene.num_tris, 3, 2), np.float32))
+                self._uvs = jax.device_put(jnp.asarray(uvs))
+            uv = interpolate_uv(self._uvs, tri, u, v)
+            mat = self.mat_ids[jnp.maximum(tri, 0)]
+            albedo = sample_atlas(self._atlas, mat, uv)
+            ndotd = jnp.abs(jnp.sum(normals * batch.dirn, axis=-1))
+            color = jnp.where(hit_mask[:, None],
+                              albedo * (0.2 + 0.8 * ndotd)[:, None], 0.0)
         elif mode == "shadow":
             light = jnp.asarray(self._default_light(camera), jnp.float32)
             with timer.stage("raygen_shadow"):

@@ -230,10 +230,11 @@ def make_sibenik(n_tris: int = 80_000, seed: int = 2) -> Scene:
     shell_cells = max(4, int(np.sqrt(n_tris * 0.5 / 12)))
     v, t = _box([-8, 0, -20], [8, 14, 20], shell_cells, shell_cells)
     parts.append((v, t, 0))
-    # Two rows of columns.
+    # Two rows of columns. Each column is a box of 6*(tess x 4*tess)
+    # faces = 48*tess^2 triangles.
     col_budget = n_tris - t.shape[0]
     n_cols = 14
-    tess = max(1, int(np.sqrt(max(col_budget, 12) / (12 * n_cols))))
+    tess = max(1, int(np.sqrt(max(col_budget, 48) / (48 * n_cols))))
     for i in range(n_cols):
         x = -5.0 if i % 2 == 0 else 5.0
         z = -16.0 + (i // 2) * 5.0
@@ -256,7 +257,9 @@ def make_fairy_forest(n_tris: int = 170_000, seed: int = 3) -> Scene:
     parts.append((v, t, 0))
     remaining = n_tris - t.shape[0]
     n_trees = 120
-    tess = max(1, int(np.sqrt(max(remaining, 12) / (12 * n_trees * 3))))
+    # Per tree: trunk 6*(t x 2t)*2 = 24t^2 + two canopies 6*(2t x 2t)*2
+    # = 96t^2 each -> ~216 t^2 triangles.
+    tess = max(1, int(np.sqrt(max(remaining, 216) / (216 * n_trees))))
     for _ in range(n_trees):
         c = rng.uniform([-28, 0, -28], [28, 0, 28]).astype(np.float32)
         h = rng.uniform(2.0, 6.0)
