@@ -1,0 +1,74 @@
+"""Occlusion-aware builder + video export."""
+
+import numpy as np
+import pytest
+
+from ntrace_tpu.bvh.flatten import flatten_bvh
+from ntrace_tpu.bvh.golden import brute_force_mt
+from ntrace_tpu.bvh.occlusion import build_occlusion_bvh, occlusion_weights
+from ntrace_tpu.core import BuildConfig, Camera, RenderConfig
+from ntrace_tpu.scenes import default_camera, get_scene, make_random_soup
+from ntrace_tpu.trace.cpu import trace_cpu_golden
+from tests.conftest import random_rays
+from tests.test_bvh import assert_hits_match_brute
+
+
+class TestOcclusionBuilder:
+    def test_weights_prefer_near_facing(self):
+        scene = get_scene("conference", n_tris=3000)
+        cam = default_camera("conference")
+        w = occlusion_weights(scene, cam)
+        assert w.shape == (scene.num_tris,) and (w > 0).all()
+        cent = scene.tri_verts().mean(axis=1)
+        d2 = ((cent - cam.position) ** 2).sum(axis=1)
+        near = w[d2 < np.percentile(d2, 10)].mean()
+        far = w[d2 > np.percentile(d2, 90)].mean()
+        assert near > far, "near geometry must weigh more"
+
+    def test_traversal_matches_brute(self, rng):
+        scene = make_random_soup(n_tris=2000, seed=31)
+        cam = Camera(position=[0, 0, 20], forward=[0, 0, -1])
+        bvh = build_occlusion_bvh(scene, cam)
+        bvh.validate(scene.num_tris)
+        flat = flatten_bvh(bvh, scene)
+        o, d, tmin, tmax = random_rays(rng, 1000)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        brute = brute_force_mt(scene, o, d, tmin, tmax)
+        assert_hits_match_brute(rec, brute)
+
+    def test_uniform_weights_recover_standard_sah(self):
+        from ntrace_tpu.bvh.occlusion import _OcclusionBuilder
+        from ntrace_tpu.bvh.sbvh import build_sbvh
+
+        scene = make_random_soup(n_tris=1500, seed=7)
+        cfg = BuildConfig(builder="binned_sah")
+        std = build_sbvh(scene, cfg)
+        b = _OcclusionBuilder(scene, cfg, np.ones(scene.num_tris, np.float32))
+        b.build(np.arange(scene.num_tris, dtype=np.int64), 0)
+        # Same topology class: identical node count and SAH cost.
+        assert len(b.child_rows) == std.num_inner
+
+
+class TestVideo:
+    def test_orbit_gif(self, tmp_path):
+        from ntrace_tpu.io.video import export_video, orbit_path
+        from ntrace_tpu.render.renderer import Renderer
+
+        scene = get_scene("conference", n_tris=2000)
+        r = Renderer(scene, BuildConfig(builder="lbvh"),
+                     RenderConfig(width=32, height=24))
+        lo, hi = scene.bbox()
+        cams = orbit_path((lo + hi) / 2, radius=6.0, height=5.0, n_frames=3)
+        out = tmp_path / "orbit.gif"
+        stats = export_video(r, cams, str(out), fps=4)
+        assert out.exists() and out.stat().st_size > 300
+        assert len(stats) == 3
+
+    def test_lerp_path(self):
+        from ntrace_tpu.io.video import lerp_path
+
+        a = Camera(position=[0, 0, 0], forward=[0, 0, -1], fov_deg=40)
+        b = Camera(position=[2, 0, 0], forward=[1, 0, 0], fov_deg=80)
+        cams = lerp_path(a, b, 3)
+        np.testing.assert_allclose(cams[1].position, [1, 0, 0])
+        assert abs(cams[1].fov_deg - 60) < 1e-5
