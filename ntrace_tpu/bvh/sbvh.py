@@ -28,11 +28,6 @@ import numpy as np
 
 from ntrace_tpu.bvh.host_bvh import HostBVH
 from ntrace_tpu.core import BuildConfig, Scene
-from ntrace_tpu.ops import aabb as aabb_ops
-
-
-def _sah(count_l, area_l, count_r, area_r, cfg):
-    return cfg.sah_tri_cost * (count_l * area_l + count_r * area_r)
 
 
 def _area(lo, hi):

@@ -57,25 +57,3 @@ def moller_trumbore(ns, orig, dirn, v0, v1, v2, tmin, tmax):
         & (t < tmax)
     )
     return valid, t, u, v
-
-
-def closest_hit_reduce(ns, valid, t, tri_idx, big=np.float32(np.inf)):
-    """Reduce per-(ray, candidate) results along the last axis to closest hit
-    with the lowest-tri-index tie-break.
-
-    valid  : (..., K) bool
-    t      : (..., K) float32
-    tri_idx: (..., K) int32 (global triangle ids)
-    Returns (hit_idx int32 with -1 for miss, hit_t float32 = big for miss,
-             argmin position int32 along K for fetching u/v).
-    """
-    tt = ns.where(valid, t, big)
-    # Lexicographic (t, tri_idx) argmin: bias t by a tri-index epsilon-free
-    # trick -- sort key = t exactly; ties broken by scanning order since
-    # argmin returns the first minimum and candidates are supplied in
-    # ascending tri_idx order by every caller in this framework.
-    pos = ns.argmin(tt, axis=-1)
-    hit_t = ns.take_along_axis(tt, pos[..., None], axis=-1)[..., 0]
-    hit_idx = ns.take_along_axis(tri_idx, pos[..., None], axis=-1)[..., 0]
-    hit_idx = ns.where(hit_t < big, hit_idx, np.int32(-1))
-    return hit_idx.astype(np.int32) if ns is np else hit_idx.astype("int32"), hit_t, pos

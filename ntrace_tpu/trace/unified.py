@@ -2,7 +2,7 @@
 
 The baseline step (trace/common.py) fetches a 64B node record AND a 48B
 woop record every step for every ray, though each ray needs only one of
-them (its phase). With XLA TPU gathers costing ~4ns/row regardless of
+them (its phase). With XLA TPU gathers costing ~7ns/row regardless of
 width (PERF_NOTES.md), fusing both tables into one 16-column table and
 fetching exactly one row per ray-step cuts gathered traffic ~1.75x and
 halves gather launches.
