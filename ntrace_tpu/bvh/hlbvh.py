@@ -68,8 +68,13 @@ def build_hlbvh_flat(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatBVH:
     clo = np.minimum.reduceat(slo, starts, axis=0)
     chi = np.maximum.reduceat(shi, starts, axis=0)
 
-    # SAH top tree, one cluster per leaf.
+    # SAH top tree, one cluster per leaf. The splice below reads exactly
+    # one cluster id per top leaf; a multi-box leaf (max_depth cutoff or
+    # the non-finite-split fallback in the SAH builder) would silently
+    # drop clusters, so fall back to the plain LBVH in that case.
     top = build_sah_over_boxes(clo, chi, cfg)
+    if (top.leaf_count != 1).any():
+        return build_lbvh_flat(scene, cfg)
     T = top.num_inner
 
     # Bottom nodes: shift internal child indices by T.

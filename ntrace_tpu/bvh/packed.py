@@ -1,0 +1,153 @@
+"""Lane-packed BVH layout for the Pallas packet traversal kernel.
+
+The reference's GPU kernels (expected src/rt/kernels/*persistent*.cu,
+SURVEY.md SS3.3) fetch 64-byte node records and Woop triangle rows through
+the texture cache, one ray per CUDA thread. A TPU has no per-lane gather:
+the packet kernel (trace/packet_pallas.py) instead traverses one shared
+stack per VPU tile of rays and fetches ONE node / triangle row at a time by
+scalar index from a VMEM-resident table, broadcasting it to every lane.
+
+That dictates a layout packed for whole-row (128-lane) fetches:
+
+  nodes8 : (NR, 128) float32 -- 8 nodes per row; node i occupies lanes
+           16*(i%8) .. 16*(i%8)+15 of row i//8:
+      [ 0] c0.lo.x [ 1] c0.hi.x [ 2] c0.lo.y [ 3] c0.hi.y
+      [ 4] c0.lo.z [ 5] c0.hi.z [ 6] c1.lo.x [ 7] c1.hi.x
+      [ 8] c1.lo.y [ 9] c1.hi.y [10] c1.lo.z [11] c1.hi.z
+      [12] enc0    [13] enc1    [14] cnt0    [15] cnt1
+    enc  : float-encoded child link. >= 0: internal node index.
+           < 0: leaf; first triangle row = -enc - 1.
+    cnt  : number of (TRIS_PER_ROW-wide) triangle rows of a leaf child
+           (0 for internal children).
+    Floats represent the integers exactly below 2**24 nodes / rows --
+    far beyond the 10M-triangle scenes this targets.
+
+  tris12 : (TR, 128) float32 -- 12 triangles per row; triangle slot j
+           occupies lanes 10*j .. 10*j+9:
+      [v0.x v0.y v0.z  e1.x e1.y e1.z  e2.x e2.y e2.z  tri_id]
+    (Moller-Trumbore operands; empty slots have e1 = e2 = 0 so the
+    determinant is 0 and the slot can never hit, and tri_id = -1.)
+    Lanes 120..127 are unused padding.
+
+Both arrays are padded to a multiple of 8 rows so the kernel may fetch
+aligned (8, 128) blocks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ntrace_tpu.bvh.flatten import FlatBVH
+
+NODE_LANES = 16
+NODES_PER_ROW = 8
+TRI_LANES = 10
+TRIS_PER_ROW = 12
+
+
+@dataclass
+class PackedBVH:
+    nodes8: np.ndarray   # (NR, 128) float32, NR % 8 == 0
+    tris12: np.ndarray   # (TR, 128) float32, TR % 8 == 0
+    num_nodes: int       # real (unpadded) internal node count
+    num_tris: int        # triangle references stored (>= scene tris if split)
+
+    def nbytes(self) -> int:
+        return self.nodes8.nbytes + self.tris12.nbytes
+
+
+def _decode_leaf_runs(flat: FlatBVH):
+    """Leaf woop-row runs of a FlatBVH: (starts, counts) sorted by start."""
+    children = flat.nodes[:, 12:14].copy().view(np.int32)
+    leaf_enc = children[children < 0]
+    starts = np.unique(~leaf_enc)  # unique: the 1-leaf tree aliases children
+    sentinels = np.flatnonzero(flat.tri_index < 0)
+    ends = sentinels[np.searchsorted(sentinels, starts)]
+    return starts.astype(np.int64), (ends - starts).astype(np.int64), children
+
+
+def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray) -> PackedBVH:
+    """Re-lay a FlatBVH into the packet kernel's lane-packed tables.
+
+    tri_verts : (num_scene_tris, 3, 3) float32 original vertices (the woop
+    rows cannot be inverted exactly, so Moller-Trumbore operands are rebuilt
+    from the scene).
+    """
+    starts, counts, children = _decode_leaf_runs(flat)
+    L = len(starts)
+    rows_per_leaf = (counts + TRIS_PER_ROW - 1) // TRIS_PER_ROW
+    row_start = np.zeros(L, dtype=np.int64)
+    np.cumsum(rows_per_leaf[:-1], out=row_start[1:])
+    TR = int(rows_per_leaf.sum())
+    TR_pad = max(8, -(-TR // 8) * 8)
+
+    # Gather triangle ids leaf-by-leaf (vectorized repeat/cumsum walk).
+    total = int(counts.sum())
+    cumc = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cumc, counts)
+    src_rows = np.repeat(starts, counts) + within
+    ids = flat.tri_index[src_rows].astype(np.int64)
+    slot = np.repeat(row_start, counts) * TRIS_PER_ROW + within
+
+    tris = np.zeros((TR_pad * TRIS_PER_ROW, TRI_LANES), dtype=np.float32)
+    tris[:, 9] = -1.0
+    v0 = tri_verts[ids, 0]
+    tris[slot, 0:3] = v0
+    tris[slot, 3:6] = tri_verts[ids, 1] - v0
+    tris[slot, 6:9] = tri_verts[ids, 2] - v0
+    tris[slot, 9] = ids.astype(np.float32)
+    tris12 = np.zeros((TR_pad, 128), dtype=np.float32)
+    tris12[:, : TRIS_PER_ROW * TRI_LANES] = tris.reshape(TR_pad, -1)
+
+    # Node records: remap leaf children (~woopRow) -> -(triRow + 1) + count.
+    I = flat.nodes.shape[0]
+    is_leaf = children < 0
+    leaf_woop = np.where(is_leaf, ~children, 0)
+    leaf_id = np.searchsorted(starts, leaf_woop)  # starts is sorted unique
+    enc = np.where(is_leaf, -(row_start[leaf_id] + 1), children).astype(np.float32)
+    cnt = np.where(is_leaf, rows_per_leaf[leaf_id], 0).astype(np.float32)
+
+    f = flat.nodes
+    rec = np.zeros((I, NODE_LANES), dtype=np.float32)
+    # flatten.py lane order: c0 x/y at 0..3, c1 x/y at 4..7, z at 8..11.
+    rec[:, 0] = f[:, 0]   # c0.lo.x
+    rec[:, 1] = f[:, 1]   # c0.hi.x
+    rec[:, 2] = f[:, 2]   # c0.lo.y
+    rec[:, 3] = f[:, 3]   # c0.hi.y
+    rec[:, 4] = f[:, 8]   # c0.lo.z
+    rec[:, 5] = f[:, 9]   # c0.hi.z
+    rec[:, 6] = f[:, 4]   # c1.lo.x
+    rec[:, 7] = f[:, 5]   # c1.hi.x
+    rec[:, 8] = f[:, 6]   # c1.lo.y
+    rec[:, 9] = f[:, 7]   # c1.hi.y
+    rec[:, 10] = f[:, 10]  # c1.lo.z
+    rec[:, 11] = f[:, 11]  # c1.hi.z
+    rec[:, 12] = enc[:, 0]
+    rec[:, 13] = enc[:, 1]
+    rec[:, 14] = cnt[:, 0]
+    rec[:, 15] = cnt[:, 1]
+
+    n_rows = -(-I // NODES_PER_ROW)
+    NR_pad = max(8, -(-n_rows // 8) * 8)
+    padded = np.zeros((NR_pad * NODES_PER_ROW, NODE_LANES), dtype=np.float32)
+    padded[:I] = rec
+    nodes8 = padded.reshape(NR_pad, 128)
+
+    return PackedBVH(nodes8=nodes8, tris12=tris12, num_nodes=I, num_tris=total)
+
+
+def unpack_node(packed: PackedBVH, i: int):
+    """Host-side decode of node i (test helper): (bounds(2,2,3), enc(2), cnt(2))."""
+    row = packed.nodes8[i // NODES_PER_ROW]
+    rec = row[16 * (i % NODES_PER_ROW): 16 * (i % NODES_PER_ROW) + 16]
+    b = rec[:12].reshape(2, 3, 2)            # child, axis, lo/hi
+    bounds = np.stack([b[:, :, 0], b[:, :, 1]], axis=1)  # (child, lo/hi, axis)
+    return bounds, rec[12:14].astype(np.int64), rec[14:16].astype(np.int64)
+
+
+def unpack_tri_slot(packed: PackedBVH, row: int, j: int):
+    """Host-side decode of tri slot j of row (test helper)."""
+    lanes = packed.tris12[row, TRI_LANES * j: TRI_LANES * j + TRI_LANES]
+    return lanes[0:3], lanes[3:6], lanes[6:9], int(lanes[9])

@@ -96,6 +96,9 @@ def _make_renderer(args, mode: str):
 
 
 def cmd_benchmark(args) -> int:
+    if args.measure_repeats < 1:
+        print("benchmark: --measure-repeats must be >= 1", file=sys.stderr)
+        return 2
     modes = args.mode.split(",")
     cameras = args.camera if isinstance(args.camera, list) else [args.camera]
     scene, renderer, flat = _make_renderer(args, modes[0])

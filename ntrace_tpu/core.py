@@ -231,6 +231,7 @@ class RenderConfig:
     seed: int = 0
     light: tuple = (0.0, 0.0, 0.0)  # point light for shadow mode
     bounces: int = 2  # for mode="path"
+    packet_rows: int = 8  # packet engine: sublanes per packet (rays = rows*128)
 
 
 def config_replace(cfg, **kw):

@@ -13,6 +13,11 @@ let XLA insert collectives. Rays are the batch dimension; the accel is the
 "weights". A replicated 480MB San Miguel accel fits every v5e's 16GB HBM,
 so no tensor-parallel accel sharding tier is needed at reference scale; the
 mesh keeps a single axis until scene sizes demand accel sharding.
+
+The frame step SHARES the single-chip renderer's shading and raygen code
+(render/renderer.py normal_color + shadow_mix, ray/raygen.py shadow +
+surface_frame): tests/test_parallel.py asserts the sharded frame equals the
+Renderer's shadow-mode output pixel-for-pixel on the virtual 8-device mesh.
 """
 
 from __future__ import annotations
@@ -22,8 +27,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
+from ntrace_tpu.ray import raygen
+from ntrace_tpu.render.renderer import normal_color, shadow_mix
 from ntrace_tpu.trace.stack_jax import trace_stack
 
 
@@ -50,45 +57,50 @@ def trace_sharded(mesh: Mesh, nodes, woop, tri_index, orig, dirn, tmin, tmax,
     return jax.jit(fn)(nodes, woop, tri_index, orig, dirn, tmin, tmax)
 
 
+def frame_step(nodes, woop, tri_index, geom_normals,
+               orig, dirn, tmin, tmax, light_pos, eps, axis=None):
+    """Primary trace -> shadow any-hit -> shadow shading for one ray shard.
+
+    Pure function reused by both the sharded path (under shard_map) and the
+    single-device reference in tests. Shading composes the SAME helpers the
+    Renderer's shadow mode uses. `axis`: mesh axis name for the global hit
+    psum (None = single device).
+    """
+    tri, t, u, v = trace_stack(nodes, woop, tri_index, orig, dirn, tmin, tmax)
+    hit = tri >= 0
+    normals, _ = raygen.surface_frame(tri, dirn, geom_normals, 0.0)
+    base_col = normal_color(geom_normals, tri)
+    t_safe = jnp.where(hit, t, 0.0)
+    hit_pos = orig + t_safe[:, None] * dirn
+    sbatch = raygen.shadow(hit_pos, normals, light_pos, eps)
+    stri, *_ = trace_stack(
+        nodes, woop, tri_index, sbatch.orig, sbatch.dirn,
+        sbatch.tmin, jnp.where(hit, sbatch.tmax, 0.0), any_hit=True,
+    )
+    lit = (stri < 0).astype(jnp.float32)
+    color = shadow_mix(base_col, lit)
+    hits = hit.sum()
+    if axis is not None:
+        hits = jax.lax.psum(hits, axis)
+    return color, hits
+
+
 def render_step_sharded(mesh: Mesh, nodes, woop, tri_index, geom_normals,
-                        orig, dirn, tmin, tmax, light_pos):
+                        orig, dirn, tmin, tmax, light_pos, eps=1e-3):
     """One full sharded frame step: primary trace -> shadow any-hit ->
     shading -> global stats psum. This is the multi-chip "step" the driver
     dry-runs; it exercises replicated-accel + ray-sharded compute and an
     ICI collective (psum of hit counts).
     Returns (color (R,3) sharded by rays, global_hits scalar replicated).
     """
-
-    def step(nodes, woop, tri_index, gn, o, d, tn, tx, lp):
-        tri, t, u, v = trace_stack(nodes, woop, tri_index, o, d, tn, tx)
-        hit = tri >= 0
-        gtri = jnp.maximum(tri, 0)
-        n = gn[gtri]
-        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-30)
-        n = jnp.where((jnp.sum(n * d, axis=-1, keepdims=True) > 0), -n, n)
-        t_safe = jnp.where(hit, t, 0.0)
-        hp = o + t_safe[:, None] * d + n * 1e-3
-        to_l = lp[None, :] - hp
-        dist = jnp.linalg.norm(to_l, axis=-1)
-        sd = to_l / (dist[:, None] + 1e-30)
-        stri, *_ = trace_stack(
-            nodes, woop, tri_index, hp, sd,
-            jnp.zeros_like(dist), jnp.where(hit, dist * 0.9999, 0.0),
-            any_hit=True,
-        )
-        lit = (stri < 0).astype(jnp.float32)
-        color = jnp.abs(n) * (0.25 + 0.75 * lit)[:, None]
-        color = jnp.where(hit[:, None], color, 0.0)
-        global_hits = jax.lax.psum(hit.sum(), "rays")
-        return color, global_hits
-
     fn = jax.shard_map(
-        step,
+        partial(frame_step, axis="rays"),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(),
-                  P("rays"), P("rays"), P("rays"), P("rays"), P()),
+                  P("rays"), P("rays"), P("rays"), P("rays"), P(), P()),
         out_specs=(P("rays"), P()),
         check_vma=False,
     )
     return jax.jit(fn)(nodes, woop, tri_index, geom_normals,
-                       orig, dirn, tmin, tmax, light_pos)
+                       orig, dirn, tmin, tmax, light_pos,
+                       jnp.float32(eps))

@@ -80,6 +80,24 @@ def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
     raise ValueError(f"unknown builder {cfg.builder!r}")
 
 
+def normal_color(geom_normals, hit_tri):
+    """|unit geometric normal| debug shading; black on miss.
+
+    Module-level so the multi-chip step (parallel/mesh.py) shades with the
+    SAME code as the single-chip renderer (no silent drift).
+    """
+    tri = jnp.maximum(hit_tri, 0)
+    gn = geom_normals[tri]
+    gn = gn / (jnp.linalg.norm(gn, axis=-1, keepdims=True) + 1e-30)
+    col = jnp.abs(gn)
+    return jnp.where(hit_tri[:, None] >= 0, col, 0.0)
+
+
+def shadow_mix(base_col, lit):
+    """The reference's shadow-mode mix: 25% ambient + 75% direct."""
+    return base_col * (0.25 + 0.75 * lit)[:, None]
+
+
 def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
     """Loop the tracer over <=cap-ray chunks (the in-flight ray cap).
 
@@ -120,6 +138,12 @@ class Renderer:
         with self.timer.stage("build"):
             self.flat = flat if flat is not None else build_accel(scene, build_cfg)
         engine = cfg.engine if cfg.engine not in ("auto", "wavefront") else "stack2"
+        known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
+                         "cpu_golden")
+        if engine not in known_engines:
+            raise ValueError(
+                f"unknown engine {engine!r}; known: {known_engines}"
+            )
         from ntrace_tpu.bvh.kdtree import FlatKDTree
 
         if isinstance(self.flat, FlatKDTree):
@@ -177,6 +201,32 @@ class Renderer:
                 out = trace_wide(self.wt_dev, self.wt_nodes, o, d, tn, tx,
                                  any_hit=any_hit, chunk=chunk)
                 return tuple(x[:r] for x in out)
+        elif engine == "packet":  # Pallas shared-stack packet kernel
+            from ntrace_tpu.bvh.packed import pack_bvh
+            from ntrace_tpu.trace.packet_pallas import trace_packet
+
+            packed = pack_bvh(self.flat, scene.tri_verts())
+            self.packed_nodes = jax.device_put(jnp.asarray(packed.nodes8))
+            self.packed_tris = jax.device_put(jnp.asarray(packed.tris12))
+            rows = cfg.packet_rows
+            # No Mosaic backend off-TPU: tests run the interpreter.
+            interpret = jax.default_backend() not in ("tpu", "axon")
+
+            def _tracer(o, d, tn, tx, any_hit):
+                return trace_packet(
+                    self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                    any_hit=any_hit, rows=rows, interpret=interpret,
+                )
+        elif engine == "cpu_golden":  # host reference tracer (slow, exact)
+            def _tracer(o, d, tn, tx, any_hit):
+                from ntrace_tpu.trace.cpu import trace_cpu_golden
+
+                rec = trace_cpu_golden(
+                    self.flat, np.asarray(o), np.asarray(d),
+                    np.asarray(tn), np.asarray(tx), any_hit=any_hit,
+                )
+                return (jnp.asarray(rec.tri), jnp.asarray(rec.t),
+                        jnp.asarray(rec.u), jnp.asarray(rec.v))
         else:  # stack2: unified-table engine, one dispatch per batch
             ut, n_nodes = unify_tables(self.flat)
             self.ut_dev = jax.device_put(jnp.asarray(ut))
@@ -225,11 +275,7 @@ class Renderer:
         return n
 
     def _normal_color(self, hit_tri):
-        tri = jnp.maximum(hit_tri, 0)
-        gn = self.geom_normals[tri]
-        gn = gn / (jnp.linalg.norm(gn, axis=-1, keepdims=True) + 1e-30)
-        col = jnp.abs(gn)
-        return jnp.where(hit_tri[:, None] >= 0, col, 0.0)
+        return normal_color(self.geom_normals, hit_tri)
 
     # -- ray-type passes ---------------------------------------------------
 
@@ -294,7 +340,7 @@ class Renderer:
                 jax.block_until_ready(stri)
             timer.add("rays_shadow", sbatch.num_rays / 1e3)
             lit = (stri < 0).astype(jnp.float32)
-            color = base_col * (0.25 + 0.75 * lit)[:, None]
+            color = shadow_mix(base_col, lit)
         elif mode in ("ao", "diffuse"):
             S = cfg.samples
             with timer.stage(f"raygen_{mode}"):

@@ -33,10 +33,11 @@ class KernelSpec:
 _REGISTRY = {
     # Reference kernel names (aliases for script compatibility):
     "tesla_persistent_while_while": KernelSpec("stack", 1 << 16),
-    "tesla_persistent_packet": KernelSpec("stack2", 1 << 14,
-                                          "small screen-coherent chunks"),
+    "tesla_persistent_packet": KernelSpec("packet", 1 << 22,
+                                          "Pallas shared-stack packet kernel"),
     "tesla_persistent_speculative_while_while": KernelSpec("stack2", 1 << 16),
-    "fermi_speculative_while_while": KernelSpec("stack2", 1 << 16),
+    "fermi_speculative_while_while": KernelSpec("packet", 1 << 22,
+                                                "fastest engine on TPU"),
     "kepler_dynamic_fetch": KernelSpec("stack2", 1 << 16),
     "fermi_kdtree_while_while": KernelSpec("kdtree", 1 << 13,
                                            "pair with --builder=kdtree"),
@@ -45,6 +46,8 @@ _REGISTRY = {
     "stack2": KernelSpec("stack2", 1 << 16, "unified-table macro-step engine"),
     "bvh8": KernelSpec("bvh8", 1 << 13, "8-wide one-dispatch engine"),
     "kdtree": KernelSpec("kdtree", 1 << 13, "interval-stack kd engine"),
+    "packet": KernelSpec("packet", 1 << 22,
+                         "Pallas VMEM shared-stack packet kernel"),
     "wavefront": KernelSpec("stack2", 1 << 16,
                             "sorted wavefront pending (PERF_NOTES.md)"),
     "cpu_golden": KernelSpec("cpu_golden", 1 << 30),

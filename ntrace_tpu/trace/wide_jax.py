@@ -145,7 +145,11 @@ def trace_wide(utable, n_nodes, orig, dirn, tmin, tmax,
     orig = orig.astype(jnp.float32).reshape(c, chunk, 3)
     dirn = dirn.astype(jnp.float32).reshape(c, chunk, 3)
     tmin = jnp.broadcast_to(tmin.astype(jnp.float32), (r,)).reshape(c, chunk)
-    tmax = jnp.broadcast_to(tmax.astype(jnp.float32), (r,)).reshape(c, chunk)
+    # Clamp below the 3e38 empty-slot sentinel: a tmax >= 3e38 (e.g. inf)
+    # would make empty child slots test as hits and send rays to row 0
+    # forever (enc 0), hanging the while_loop.
+    tmax = jnp.minimum(tmax.astype(jnp.float32), jnp.float32(1e38))
+    tmax = jnp.broadcast_to(tmax, (r,)).reshape(c, chunk)
 
     def one_chunk(args):
         o, d, tn, tx = args

@@ -23,18 +23,21 @@ def cache_dir() -> Path:
     return d
 
 
-_scene_hash_memo: dict[int, str] = {}
-
-
 def scene_hash(scene: Scene) -> str:
-    key = id(scene)
-    if key in _scene_hash_memo:
-        return _scene_hash_memo[key]
+    # Memoized ON the Scene object: a dict keyed by id() can hand a
+    # recycled address a stale digest after the original Scene is
+    # garbage-collected (silent wrong cache hits).
+    digest = getattr(scene, "_content_hash", None)
+    if digest is not None:
+        return digest
     h = hashlib.sha1()
     h.update(scene.positions.tobytes())
     h.update(scene.indices.tobytes())
     digest = h.hexdigest()[:16]
-    _scene_hash_memo[key] = digest
+    try:
+        object.__setattr__(scene, "_content_hash", digest)
+    except (AttributeError, TypeError):
+        pass  # frozen/slots Scene: recompute next call
     return digest
 
 

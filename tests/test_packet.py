@@ -1,0 +1,98 @@
+"""Packet Pallas engine vs the brute-force golden (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from ntrace_tpu.bvh.flatten import flatten_bvh
+from ntrace_tpu.bvh.golden import brute_force_mt, brute_force_anyhit
+from ntrace_tpu.bvh.packed import (
+    NODES_PER_ROW, TRIS_PER_ROW, pack_bvh, unpack_node, unpack_tri_slot,
+)
+from ntrace_tpu.bvh.sbvh import build_sbvh
+from ntrace_tpu.core import BuildConfig
+from ntrace_tpu.trace.packet_pallas import trace_packet
+
+from conftest import random_rays
+
+
+def _packed(scene):
+    bvh = build_sbvh(scene, BuildConfig(builder="binned_sah"))
+    flat = flatten_bvh(bvh, scene)
+    return flat, pack_bvh(flat, scene.tri_verts())
+
+
+def test_pack_roundtrip(soup_small):
+    flat, packed = _packed(soup_small)
+    assert packed.nodes8.shape[0] % 8 == 0
+    assert packed.tris12.shape[0] % 8 == 0
+    assert packed.num_tris == soup_small.num_tris  # no-split builder
+
+    tv = soup_small.tri_verts()
+    seen = np.zeros(soup_small.num_tris, dtype=bool)
+    # Walk every node; leaves must decode to the scene's triangles.
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        bounds, enc, cnt = unpack_node(packed, i)
+        for k in range(2):
+            if enc[k] >= 0:
+                assert cnt[k] == 0
+                stack.append(int(enc[k]))
+                continue
+            start, rows = -int(enc[k]) - 1, int(cnt[k])
+            assert rows >= 1
+            for r in range(start, start + rows):
+                for j in range(TRIS_PER_ROW):
+                    v0, e1, e2, tid = unpack_tri_slot(packed, r, j)
+                    if tid < 0:
+                        assert not e1.any() and not e2.any()
+                        continue
+                    seen[tid] = True
+                    np.testing.assert_array_equal(v0, tv[tid, 0])
+                    np.testing.assert_array_equal(e1, tv[tid, 1] - tv[tid, 0])
+                    np.testing.assert_array_equal(e2, tv[tid, 2] - tv[tid, 0])
+                    # The slot's triangle lies inside the child bounds.
+                    lo, hi = bounds[k, 0], bounds[k, 1]
+                    for vtx in tv[tid]:
+                        assert (vtx >= lo - 1e-4).all() and (vtx <= hi + 1e-4).all()
+    assert seen.all()
+
+
+@pytest.mark.parametrize("rows", [8, 16])
+def test_packet_matches_golden(soup_small, rng, rows):
+    flat, packed = _packed(soup_small)
+    orig, dirn, tmin, tmax = random_rays(rng, 700)  # deliberately not a packet multiple
+    tmax = np.minimum(tmax, 1e9).astype(np.float32)
+    tri, t, u, v = trace_packet(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        any_hit=False, rows=rows, interpret=True,
+    )
+    ref = brute_force_mt(soup_small, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri), ref.tri)
+    hit = ref.tri >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], ref.t[hit], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u)[hit], ref.u[hit], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v)[hit], ref.v[hit], rtol=1e-4, atol=1e-5)
+
+
+def test_packet_anyhit(soup_medium, rng):
+    flat, packed = _packed(soup_medium)
+    orig, dirn, tmin, tmax = random_rays(rng, 1024)
+    tmax = np.full_like(tmax, 14.0)  # finite segments: some blocked, some not
+    tri, t, u, v = trace_packet(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        any_hit=True, interpret=True,
+    )
+    blocked = brute_force_anyhit(soup_medium, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri) >= 0, blocked)
+
+
+def test_packet_dead_rays_stay_dead(soup_small, rng):
+    _, packed = _packed(soup_small)
+    orig, dirn, tmin, tmax = random_rays(rng, 256)
+    tmax[:] = 0.0  # zero-length segments: the renderer's dead-ray encoding
+    tri, t, u, v = trace_packet(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        any_hit=True, interpret=True,
+    )
+    assert (np.asarray(tri) == -1).all()
