@@ -16,18 +16,23 @@ That dictates a layout packed for whole-row (128-lane) fetches:
       [ 8] c1.lo.y [ 9] c1.hi.y [10] c1.lo.z [11] c1.hi.z
       [12] enc0    [13] enc1    [14] cnt0    [15] cnt1
     enc  : float-encoded child link. >= 0: internal node index.
-           < 0: leaf; first triangle row = -enc - 1.
-    cnt  : number of (TRIS_PER_ROW-wide) triangle rows of a leaf child
-           (0 for internal children).
-    Floats represent the integers exactly below 2**24 nodes / rows --
+           < 0: leaf; first triangle ROW = -enc - 1.
+    cnt  : leaf child -> number of rows the leaf's slot run touches.
+           Lane 14 of an internal-internal node instead holds the
+           traversal order code: axis*2 + (child0 is on the low side),
+           consumed with the packet's direction signs for near-first
+           ordering without per-step t reductions.
+    Floats represent the integers exactly below 2**24 nodes / slots --
     far beyond the 10M-triangle scenes this targets.
 
   tris12 : (TR, 128) float32 -- 12 triangles per row; triangle slot j
            occupies lanes 10*j .. 10*j+9:
       [v0.x v0.y v0.z  e1.x e1.y e1.z  e2.x e2.y e2.z  tri_id]
-    (Moller-Trumbore operands; empty slots have e1 = e2 = 0 so the
+    (Moller-Trumbore operands; empty tail slots have e1 = e2 = 0 so the
     determinant is 0 and the slot can never hit, and tri_id = -1.)
-    Lanes 120..127 are unused padding.
+    Leaf runs are packed DENSELY -- rows may straddle leaves; the kernel
+    tests whole rows, and testing a neighbouring leaf's real triangles
+    is closest-hit/any-hit safe. Lanes 120..127 are unused padding.
 
 Both arrays are padded to a multiple of 8 rows so the kernel may fetch
 aligned (8, 128) blocks.
@@ -76,20 +81,25 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray) -> PackedBVH:
     from the scene).
     """
     starts, counts, children = _decode_leaf_runs(flat)
-    L = len(starts)
-    rows_per_leaf = (counts + TRIS_PER_ROW - 1) // TRIS_PER_ROW
-    row_start = np.zeros(L, dtype=np.int64)
-    np.cumsum(rows_per_leaf[:-1], out=row_start[1:])
-    TR = int(rows_per_leaf.sum())
+    # DENSE packing: leaf runs are concatenated with no row alignment, so
+    # a row may straddle leaves. The kernel tests every slot of every row
+    # a leaf's run touches -- neighbouring leaves' triangles are real scene
+    # triangles, so extra tests cannot change the closest (or any-) hit.
+    # This keeps rows ~full: SAH leaves average ~2 triangles, and per-leaf
+    # row alignment was a 6x VMEM and leaf-VPU-work blowup.
+    total = int(counts.sum())
+    first_slot = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    last_slot = first_slot + counts - 1
+    leaf_rows = last_slot // TRIS_PER_ROW - first_slot // TRIS_PER_ROW + 1
+    TR = -(-total // TRIS_PER_ROW)
     TR_pad = max(8, -(-TR // 8) * 8)
 
     # Gather triangle ids leaf-by-leaf (vectorized repeat/cumsum walk).
-    total = int(counts.sum())
     cumc = np.concatenate([[0], np.cumsum(counts)[:-1]])
     within = np.arange(total, dtype=np.int64) - np.repeat(cumc, counts)
     src_rows = np.repeat(starts, counts) + within
     ids = flat.tri_index[src_rows].astype(np.int64)
-    slot = np.repeat(row_start, counts) * TRIS_PER_ROW + within
+    slot = np.arange(total, dtype=np.int64)
 
     tris = np.zeros((TR_pad * TRIS_PER_ROW, TRI_LANES), dtype=np.float32)
     tris[:, 9] = -1.0
@@ -101,13 +111,28 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray) -> PackedBVH:
     tris12 = np.zeros((TR_pad, 128), dtype=np.float32)
     tris12[:, : TRIS_PER_ROW * TRI_LANES] = tris.reshape(TR_pad, -1)
 
-    # Node records: remap leaf children (~woopRow) -> -(triRow + 1) + count.
+    # Node records: remap leaf children (~woopRow) -> -(firstSlot + 1), and
+    # the spanned-row count. Internal-internal nodes carry a traversal
+    # order code in the cnt0 lane instead (axis*2 + low-side bit).
     I = flat.nodes.shape[0]
     is_leaf = children < 0
     leaf_woop = np.where(is_leaf, ~children, 0)
     leaf_id = np.searchsorted(starts, leaf_woop)  # starts is sorted unique
-    enc = np.where(is_leaf, -(row_start[leaf_id] + 1), children).astype(np.float32)
-    cnt = np.where(is_leaf, rows_per_leaf[leaf_id], 0).astype(np.float32)
+    first_row = first_slot // TRIS_PER_ROW  # kernel wants the ROW directly
+    enc = np.where(is_leaf, -(first_row[leaf_id] + 1), children).astype(np.float32)
+    cnt = np.where(is_leaf, leaf_rows[leaf_id], 0).astype(np.float32)
+
+    both_internal = ~is_leaf[:, 0] & ~is_leaf[:, 1]
+    f0 = flat.nodes
+    c0_center = np.stack([f0[:, 0] + f0[:, 1], f0[:, 2] + f0[:, 3],
+                          f0[:, 8] + f0[:, 9]], axis=1)
+    c1_center = np.stack([f0[:, 4] + f0[:, 5], f0[:, 6] + f0[:, 7],
+                          f0[:, 10] + f0[:, 11]], axis=1)
+    sep = c0_center - c1_center
+    axis = np.abs(sep).argmax(axis=1).astype(np.int64)
+    low_bit = (sep[np.arange(I), axis] <= 0).astype(np.int64)
+    order_code = (axis * 2 + low_bit).astype(np.float32)
+    cnt[:, 0] = np.where(both_internal, order_code, cnt[:, 0])
 
     f = flat.nodes
     rec = np.zeros((I, NODE_LANES), dtype=np.float32)

@@ -256,10 +256,12 @@ def make_fairy_forest(n_tris: int = 170_000, seed: int = 3) -> Scene:
     v, t = _tess_quad([-30, 0, -30], [60, 0, 0], [0, 0, 60], g_cells, g_cells)
     parts.append((v, t, 0))
     remaining = n_tris - t.shape[0]
-    n_trees = 120
-    # Per tree: trunk 6*(t x 2t)*2 = 24t^2 + two canopies 6*(2t x 2t)*2
-    # = 96t^2 each -> ~216 t^2 triangles.
-    tess = max(1, int(np.sqrt(max(remaining, 216) / (216 * n_trees))))
+    # Per tree: trunk box 6*2*(t)(2t) = 24t^2 + two canopy boxes
+    # 6*2*(2t)(2t) = 48t^2 each -> 120 t^2 triangles. Pick the tessellation
+    # for ~120 trees, then let the tree COUNT consume the remainder so the
+    # scene lands on the advertised budget (BASELINE.md fairy ~170k).
+    tess = max(1, int(np.sqrt(max(remaining, 120) / (120 * 120))))
+    n_trees = max(1, remaining // (120 * tess * tess))
     for _ in range(n_trees):
         c = rng.uniform([-28, 0, -28], [28, 0, 28]).astype(np.float32)
         h = rng.uniform(2.0, 6.0)

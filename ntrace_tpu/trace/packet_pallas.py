@@ -14,9 +14,20 @@ per-lane HBM gather that capped the XLA lockstep engines at ~38 ns/ray-step
 want; screen-coherent ray order (ray/pixeltable.py Morton order) keeps that
 union tight, exactly like packet tracing on GPUs.
 
+Hot-loop design rules (all measured on v5e; PERF_NOTES.md "packet step
+anatomy"):
+  - hit state (t/id/u/v tiles) lives in while-loop CARRIES (vector
+    registers), not refs: a leaf's VMEM write followed by the next step's
+    VMEM read serializes the pipeline (~600 ns/step); value-carried state
+    runs at tens of ns/step.
+  - vreg->sreg scalar extracts are ~free; per-lane broadcasts of extracted
+    scalars are free inside arithmetic.
+  - leaf phases are value-returning lax.cond branches, outputs are written
+    exactly once after the loop.
+
 Per step:
   inner: fetch one node record, slab-test BOTH children on all lanes (VPU),
-         reduce to per-child any-hit + nearest-entry scalars, descend the
+         reduce to per-child any-hit (+ nearest-entry) scalars, descend the
          nearer hit child, push the farther, pop on miss.
   leaf : fetch 12-triangle rows, unrolled Moller-Trumbore on all lanes,
          closest-hit update with a lowest-index tie-break (order-independent
@@ -75,31 +86,36 @@ def _slab_child(rec, base, ox, oy, oz, ix, iy, iz, tmin, tmax):
     return begin <= end, begin
 
 
-def _make_kernel(rows: int, any_hit: bool):
+def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
+                 order: str = "mins", light: bool = False):
     shape = (rows, 128)
 
-    def kernel(nodes_ref, tris_ref,
-               ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
-               dx_ref, dy_ref, dz_ref, tn_ref, tx_ref,
-               out_t, out_id, out_u, out_v, stack_ref):
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        ix, iy, iz = ix_ref[:], iy_ref[:], iz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        tn, tx = tn_ref[:], tx_ref[:]
+    def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, *rest):
+        if stats:
+            stats_ref, stack_ref, ctr_ref = rest
+            ctr_ref[0] = jnp.int32(0)
+        else:
+            (stack_ref,) = rest
+        r = rows
+        ox, oy, oz = (rays_ref[0:r, :], rays_ref[r:2 * r, :],
+                      rays_ref[2 * r:3 * r, :])
+        ix, iy, iz = (rays_ref[3 * r:4 * r, :], rays_ref[4 * r:5 * r, :],
+                      rays_ref[5 * r:6 * r, :])
+        dx, dy, dz = (rays_ref[6 * r:7 * r, :], rays_ref[7 * r:8 * r, :],
+                      rays_ref[8 * r:9 * r, :])
+        tn, tx = rays_ref[9 * r:10 * r, :], rays_ref[10 * r:11 * r, :]
         dead = tx <= tn  # padding / pre-killed rays
 
-        out_t[:] = tx
-        out_id[:] = jnp.full(shape, -1, jnp.int32)
-        out_u[:] = jnp.zeros(shape, jnp.float32)
-        out_v[:] = jnp.zeros(shape, jnp.float32)
-
-        def leaf_phase(start, nrows):
-            def lbody(k, _):
-                trow = tris_ref[pl.ds(start + k, 1), :]
-                cur_t = out_t[:]
-                cur_id = out_id[:]
-                cur_u = out_u[:]
-                cur_v = out_v[:]
+        def leaf_rows(row0, nrows, hs):
+            """Moller-Trumbore over `nrows` 12-slot rows; value-carried."""
+            def lbody(k, hs):
+                if stats:
+                    ctr_ref[0] = ctr_ref[0] + 1
+                cur_t, cur_id, cur_u, cur_v = hs
+                # Rows may straddle leaves (dense packing, bvh/packed.py);
+                # testing a neighbour leaf's real triangles is safe: the
+                # closest-hit update + tie-break is superset-invariant.
+                trow = tris_ref[pl.ds(row0 + k, 1), :]
                 for jj in range(TRIS_PER_ROW):
                     b = TRI_LANES * jj
                     v0x, v0y, v0z = trow[0, b + 0], trow[0, b + 1], trow[0, b + 2]
@@ -129,50 +145,69 @@ def _make_kernel(rows: int, any_hit: bool):
                     acc = valid & closer
                     cur_t = jnp.where(acc, t, cur_t)
                     cur_id = jnp.where(acc, tid, cur_id)
-                    cur_u = jnp.where(acc, u, cur_u)
-                    cur_v = jnp.where(acc, v, cur_v)
-                out_t[:] = cur_t
-                out_id[:] = cur_id
-                out_u[:] = cur_u
-                out_v[:] = cur_v
-                return 0
+                    if not light:
+                        cur_u = jnp.where(acc, u, cur_u)
+                        cur_v = jnp.where(acc, v, cur_v)
+                return cur_t, cur_id, cur_u, cur_v
 
-            jax.lax.fori_loop(0, nrows, lbody, 0)
+            return jax.lax.fori_loop(0, nrows, lbody, hs)
+
+        # Packet-mean direction signs steer near-child ordering in "code"
+        # mode (one-time reduces replacing per-step near-t min-reduces).
+        signs = ((jnp.sum(dx) >= 0).astype(jnp.int32)
+                 | ((jnp.sum(dy) >= 0).astype(jnp.int32) << 1)
+                 | ((jnp.sum(dz) >= 0).astype(jnp.int32) << 2))
 
         def cond(c):
-            node, sp, done, steps = c
-            return (node >= 0) & jnp.logical_not(done) & (steps < MAX_STEPS)
+            return (c[0] >= 0) & jnp.logical_not(c[2]) & (c[3] < MAX_STEPS)
 
         def body(c):
-            node, sp, done, steps = c
+            node, sp, done, steps, hit_t, hit_id, hit_u, hit_v = c
             rec = _node_record(nodes_ref, node)
-            cur_t = out_t[:]
-            live_t = jnp.where(dead, -INF, cur_t) if any_hit else cur_t
+            live_t = jnp.where(dead, -INF, hit_t) if any_hit else hit_t
             h0, t0 = _slab_child(rec, 0, ox, oy, oz, ix, iy, iz, tn, live_t)
             h1, t1 = _slab_child(rec, 6, ox, oy, oz, ix, iy, iz, tn, live_t)
-            n0 = jnp.min(jnp.where(h0, t0, INF))
-            n1 = jnp.min(jnp.where(h1, t1, INF))
-            any0 = n0 < INF
-            any1 = n1 < INF
+            if order == "mins":
+                n0 = jnp.min(jnp.where(h0, t0, INF))
+                n1 = jnp.min(jnp.where(h1, t1, INF))
+                any0 = n0 < INF
+                any1 = n1 < INF
+                first0 = n0 <= n1
+            else:
+                # One reduce yields both children's any-hit flags
+                # (bit-packed; lane count < 2**16 keeps the fields apart),
+                # near-first order comes from the pack-time order code
+                # (lane 14 = axis*2 + low-side bit; present exactly when
+                # both children are internal, the only case it's read).
+                hs_sum = jnp.sum(h0.astype(jnp.int32) << 16
+                                 | h1.astype(jnp.int32))
+                any0 = hs_sum >= (1 << 16)
+                any1 = (hs_sum & 0xFFFF) > 0
+                code = rec[0, 14].astype(jnp.int32)
+                first0 = (jnp.bitwise_and(
+                    jax.lax.shift_right_logical(signs, code >> 1), 1
+                ) == jnp.bitwise_and(code, 1))
             enc0 = rec[0, 12].astype(jnp.int32)
             enc1 = rec[0, 13].astype(jnp.int32)
-            cnt0 = rec[0, 14].astype(jnp.int32)
-            cnt1 = rec[0, 15].astype(jnp.int32)
             leaf0 = enc0 < 0
             leaf1 = enc1 < 0
 
-            @pl.when(any0 & leaf0)
-            def _():
-                leaf_phase(-enc0 - 1, cnt0)
-
-            @pl.when(any1 & leaf1)
-            def _():
-                leaf_phase(-enc1 - 1, cnt1)
+            hs = (hit_t, hit_id, hit_u, hit_v)
+            hs = jax.lax.cond(
+                any0 & leaf0,
+                lambda hs: leaf_rows(-enc0 - 1, rec[0, 14].astype(jnp.int32), hs),
+                lambda hs: hs, hs,
+            )
+            hs = jax.lax.cond(
+                any1 & leaf1,
+                lambda hs: leaf_rows(-enc1 - 1, rec[0, 15].astype(jnp.int32), hs),
+                lambda hs: hs, hs,
+            )
+            hit_t, hit_id, hit_u, hit_v = hs
 
             i0 = any0 & jnp.logical_not(leaf0)
             i1 = any1 & jnp.logical_not(leaf1)
             both = i0 & i1
-            first0 = n0 <= n1
             near = jnp.where(first0, enc0, enc1)
             far = jnp.where(first0, enc1, enc0)
 
@@ -190,23 +225,42 @@ def _make_kernel(rows: int, any_hit: bool):
             sp2 = jnp.where(need_pop & can_pop, sp1 - 1, sp1)
             done2 = done
             if any_hit:
-                done2 = jnp.all((out_id[:] >= 0) | dead)
-            return node2, sp2, done2, steps + 1
+                done2 = jnp.all((hit_id >= 0) | dead)
+            return (node2, sp2, done2, steps + 1,
+                    hit_t, hit_id, hit_u, hit_v)
 
-        jax.lax.while_loop(
+        zero = jnp.zeros(shape, jnp.float32)
+        final = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.int32(0), jnp.bool_(False), jnp.int32(0)),
+            (jnp.int32(0), jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+             tx, jnp.full(shape, -1, jnp.int32), zero, zero),
         )
+        # out_f packs [t | u | v] along sublanes; out_id is the tri id.
+        out_f[0:r, :] = final[4]
+        out_id[:] = final[5]
+        out_f[r:2 * r, :] = final[6]
+        out_f[2 * r:3 * r, :] = final[7]
+        if stats:
+            # lane 0: inner steps, lane 1: leaf tri-rows visited.
+            lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            stats_ref[:] = jnp.where(
+                lane == 0, final[3],
+                jnp.where(lane == 1, ctr_ref[0], 0),
+            )
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "rows", "interpret", "vmem_limit")
+    jax.jit,
+    static_argnames=("any_hit", "rows", "interpret", "vmem_limit", "stats",
+                     "order", "light"),
 )
 def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  any_hit: bool = False, rows: int = 8,
-                 interpret: bool = False, vmem_limit: int = 0):
+                 interpret: bool = False, vmem_limit: int = 0,
+                 stats: bool = False, order: str = "mins",
+                 light: bool = False):
     """Trace rays through a PackedBVH with the packet kernel.
 
     nodes8/tris12: device arrays of bvh/packed.py layout.
@@ -226,24 +280,35 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
     inv = safe_inv_dir(jnp, dirn)
 
     def tile(a):
-        return a.reshape(-1, 128)
+        return a.reshape(-1, rows, 128)  # (packets, rows, 128)
 
-    comps = (
+    # ONE fused ray-input block per packet (11 separate component inputs +
+    # 4 outputs cost measurable per-grid-step DMA orchestration).
+    comps = jnp.stack([
         tile(orig[:, 0]), tile(orig[:, 1]), tile(orig[:, 2]),
         tile(inv[:, 0]), tile(inv[:, 1]), tile(inv[:, 2]),
         tile(dirn[:, 0]), tile(dirn[:, 1]), tile(dirn[:, 2]),
         tile(tmin), tile(tmax),
-    )
+    ], axis=1)  # (packets, 11, rows, 128)
     grid = rp // packet
+    rays_in = comps.reshape(grid * 11 * rows, 128)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((11 * rows, 128), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    outf_spec = pl.BlockSpec((3 * rows, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    outi_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
-        jax.ShapeDtypeStruct((rp // 128, 128), jnp.int32),
-        jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
-        jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((grid * 3 * rows, 128), jnp.float32),  # t,u,v
+        jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32),        # hit id
     ]
+    out_specs = [outf_spec, outi_spec]
+    scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+    if stats:
+        out_shape.append(jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32))
+        out_specs.append(outi_spec)
+        scratch.append(pltpu.SMEM((2,), jnp.int32))
     params = {}
     if not interpret:
         # Default Mosaic scoped-VMEM limit is 16 MiB; the tables must be
@@ -254,15 +319,22 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=limit,
         )
-    out_t, out_id, out_u, out_v = pl.pallas_call(
-        _make_kernel(rows, any_hit),
+    outs = pl.pallas_call(
+        _make_kernel(rows, any_hit, stats, order, light),
         grid=(grid,),
-        in_specs=[table_spec, table_spec] + [ray_spec] * 11,
-        out_specs=[ray_spec] * 4,
+        in_specs=[table_spec, table_spec, in_spec],
+        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
         **params,
-    )(nodes8, tris12, *comps)
+    )(nodes8, tris12, rays_in)
+    tuv = outs[0].reshape(grid, 3, rows, 128)
     flat = lambda a: a.reshape(-1)[:R]
-    return flat(out_id), flat(out_t), flat(out_u), flat(out_v)
+    result = (flat(outs[1]), flat(tuv[:, 0]), flat(tuv[:, 1]),
+              flat(tuv[:, 2]))
+    if stats:
+        # (packets, 2): inner steps and leaf rows per packet.
+        s = outs[2].reshape(grid, rows, 128)
+        return result + (s[:, 0, :2],)
+    return result

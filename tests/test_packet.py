@@ -22,40 +22,53 @@ def _packed(scene):
 
 
 def test_pack_roundtrip(soup_small):
+    from ntrace_tpu.bvh.packed import _decode_leaf_runs
+
     flat, packed = _packed(soup_small)
     assert packed.nodes8.shape[0] % 8 == 0
     assert packed.tris12.shape[0] % 8 == 0
     assert packed.num_tris == soup_small.num_tris  # no-split builder
 
     tv = soup_small.tri_verts()
+    starts, counts, children = _decode_leaf_runs(flat)
+    first_slot = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    # 1. Every leaf's slot run decodes to exactly the flat layout's tris.
     seen = np.zeros(soup_small.num_tris, dtype=bool)
-    # Walk every node; leaves must decode to the scene's triangles.
-    stack = [0]
-    while stack:
-        i = stack.pop()
+    for l in range(len(starts)):
+        for k in range(int(counts[l])):
+            s = int(first_slot[l]) + k
+            v0, e1, e2, tid = unpack_tri_slot(
+                packed, s // TRIS_PER_ROW, s % TRIS_PER_ROW
+            )
+            assert tid == flat.tri_index[starts[l] + k]
+            seen[tid] = True
+            np.testing.assert_array_equal(v0, tv[tid, 0])
+            np.testing.assert_array_equal(e1, tv[tid, 1] - tv[tid, 0])
+            np.testing.assert_array_equal(e2, tv[tid, 2] - tv[tid, 0])
+    assert seen.all()
+
+    # 2. Node records: child links remap to slot runs with spanned-row
+    #    counts; internal links carry over unchanged.
+    for i in range(packed.num_nodes):
         bounds, enc, cnt = unpack_node(packed, i)
         for k in range(2):
-            if enc[k] >= 0:
-                assert cnt[k] == 0
-                stack.append(int(enc[k]))
+            ref = children[i, k]
+            if ref >= 0:
+                assert enc[k] == ref
                 continue
-            start, rows = -int(enc[k]) - 1, int(cnt[k])
-            assert rows >= 1
-            for r in range(start, start + rows):
-                for j in range(TRIS_PER_ROW):
-                    v0, e1, e2, tid = unpack_tri_slot(packed, r, j)
-                    if tid < 0:
-                        assert not e1.any() and not e2.any()
-                        continue
-                    seen[tid] = True
-                    np.testing.assert_array_equal(v0, tv[tid, 0])
-                    np.testing.assert_array_equal(e1, tv[tid, 1] - tv[tid, 0])
-                    np.testing.assert_array_equal(e2, tv[tid, 2] - tv[tid, 0])
-                    # The slot's triangle lies inside the child bounds.
-                    lo, hi = bounds[k, 0], bounds[k, 1]
-                    for vtx in tv[tid]:
-                        assert (vtx >= lo - 1e-4).all() and (vtx <= hi + 1e-4).all()
-    assert seen.all()
+            l = int(np.searchsorted(starts, ~ref))
+            fs, c = int(first_slot[l]), int(counts[l])
+            assert enc[k] == -(fs // TRIS_PER_ROW + 1)
+            assert cnt[k] == (fs + c - 1) // TRIS_PER_ROW - fs // TRIS_PER_ROW + 1
+
+    # 3. Tail padding slots are inert (id -1, zero edges).
+    total_slots = packed.tris12.shape[0] * TRIS_PER_ROW
+    for s in range(packed.num_tris, min(total_slots, packed.num_tris + 24)):
+        v0, e1, e2, tid = unpack_tri_slot(
+            packed, s // TRIS_PER_ROW, s % TRIS_PER_ROW
+        )
+        assert tid < 0 and not e1.any() and not e2.any()
 
 
 @pytest.mark.parametrize("rows", [8, 16])
