@@ -47,9 +47,10 @@ import numpy as np
 from ntrace_tpu.bvh.flatten import FlatBVH
 
 NODE_LANES = 16
-NODES_PER_ROW = 8
+NODES_PER_ROW = 8   # default; pack_bvh(nodes_per_row=1) kills the in-kernel roll
 TRI_LANES = 10
-TRIS_PER_ROW = 12
+TRIS_PER_ROW = 12   # default; pack_bvh(tris_per_row=4) kills ~3x of leaf VPU
+                    # work when SAH leaves average ~2 triangles
 
 
 @dataclass
@@ -58,6 +59,8 @@ class PackedBVH:
     tris12: np.ndarray   # (TR, 128) float32, TR % 8 == 0
     num_nodes: int       # real (unpadded) internal node count
     num_tris: int        # triangle references stored (>= scene tris if split)
+    nodes_per_row: int = NODES_PER_ROW
+    tris_per_row: int = TRIS_PER_ROW
 
     def nbytes(self) -> int:
         return self.nodes8.nbytes + self.tris12.nbytes
@@ -73,13 +76,22 @@ def _decode_leaf_runs(flat: FlatBVH):
     return starts.astype(np.int64), (ends - starts).astype(np.int64), children
 
 
-def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray) -> PackedBVH:
+def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, *,
+             tris_per_row: int = TRIS_PER_ROW,
+             nodes_per_row: int = NODES_PER_ROW) -> PackedBVH:
     """Re-lay a FlatBVH into the packet kernel's lane-packed tables.
 
     tri_verts : (num_scene_tris, 3, 3) float32 original vertices (the woop
     rows cannot be inverted exactly, so Moller-Trumbore operands are rebuilt
     from the scene).
+
+    tris_per_row in {4, 12}: 4 fits SAH's ~2-triangle leaves (a third of the
+    per-row Moller-Trumbore VPU work, ~3.2x the tris12 bytes), 12 packs big
+    scenes into VMEM. nodes_per_row in {1, 8}: 1 puts each node record at
+    lane 0 of its own row (no in-kernel roll, 8x the nodes8 bytes).
     """
+    TRIS_PER_ROW = tris_per_row
+    NODES_PER_ROW = nodes_per_row
     starts, counts, children = _decode_leaf_runs(flat)
     # DENSE packing: leaf runs are concatenated with no row alignment, so
     # a row may straddle leaves. The kernel tests every slot of every row
@@ -158,13 +170,17 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray) -> PackedBVH:
     NR_pad = max(8, -(-n_rows // 8) * 8)
     padded = np.zeros((NR_pad * NODES_PER_ROW, NODE_LANES), dtype=np.float32)
     padded[:I] = rec
-    nodes8 = padded.reshape(NR_pad, 128)
+    nodes8 = np.zeros((NR_pad, 128), dtype=np.float32)
+    nodes8[:, : NODES_PER_ROW * NODE_LANES] = padded.reshape(NR_pad, -1)
 
-    return PackedBVH(nodes8=nodes8, tris12=tris12, num_nodes=I, num_tris=total)
+    return PackedBVH(nodes8=nodes8, tris12=tris12, num_nodes=I,
+                     num_tris=total, nodes_per_row=NODES_PER_ROW,
+                     tris_per_row=TRIS_PER_ROW)
 
 
 def unpack_node(packed: PackedBVH, i: int):
     """Host-side decode of node i (test helper): (bounds(2,2,3), enc(2), cnt(2))."""
+    NODES_PER_ROW = packed.nodes_per_row
     row = packed.nodes8[i // NODES_PER_ROW]
     rec = row[16 * (i % NODES_PER_ROW): 16 * (i % NODES_PER_ROW) + 16]
     b = rec[:12].reshape(2, 3, 2)            # child, axis, lo/hi
@@ -176,3 +192,14 @@ def unpack_tri_slot(packed: PackedBVH, row: int, j: int):
     """Host-side decode of tri slot j of row (test helper)."""
     lanes = packed.tris12[row, TRI_LANES * j: TRI_LANES * j + TRI_LANES]
     return lanes[0:3], lanes[3:6], lanes[6:9], int(lanes[9])
+
+
+def pick_layout(n_nodes: int, n_refs: int, budget_bytes: int = 96 << 20):
+    """(tris_per_row, nodes_per_row) preferring the fast thin-row layout
+    where both tables still fit the VMEM budget, else the dense one."""
+    for tpr, npr in ((4, 1), (4, 8), (12, 8)):
+        node_rows = -(-n_nodes // npr)
+        tri_rows = -(-n_refs // tpr)
+        if (node_rows + tri_rows) * 512 <= budget_bytes:
+            return tpr, npr
+    return TRIS_PER_ROW, NODES_PER_ROW

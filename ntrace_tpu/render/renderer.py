@@ -137,7 +137,20 @@ class Renderer:
         self.timer = StageTimer()
         with self.timer.stage("build"):
             self.flat = flat if flat is not None else build_accel(scene, build_cfg)
-        engine = cfg.engine if cfg.engine not in ("auto", "wavefront") else "stack2"
+        engine = cfg.engine
+        if engine in ("auto", "wavefront"):
+            # The Pallas packet engine is the fast path wherever its packed
+            # tables fit in VMEM (the whole design premise); elsewhere fall
+            # back to the XLA persistent tracer. Off-TPU the packet kernel
+            # only runs interpreted (test-speed), so auto avoids it there.
+            engine = "stack2"
+            if jax.default_backend() in ("tpu", "axon") and hasattr(
+                    self.flat, "tri_index"):
+                n_nodes = self.flat.nodes.shape[0]
+                n_refs = int((self.flat.tri_index >= 0).sum())
+                est_bytes = (-(-n_nodes // 8) + -(-n_refs // 12)) * 512
+                if est_bytes <= (96 << 20):
+                    engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "cpu_golden")
         if engine not in known_engines:
@@ -202,10 +215,15 @@ class Renderer:
                                  any_hit=any_hit, chunk=chunk)
                 return tuple(x[:r] for x in out)
         elif engine == "packet":  # Pallas shared-stack packet kernel
-            from ntrace_tpu.bvh.packed import pack_bvh
+            from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
             from ntrace_tpu.trace.packet_pallas import trace_packet
 
-            packed = pack_bvh(self.flat, scene.tri_verts())
+            tpr, npr = pick_layout(
+                self.flat.nodes.shape[0],
+                int((self.flat.tri_index >= 0).sum()))
+            packed = pack_bvh(self.flat, scene.tri_verts(),
+                              tris_per_row=tpr, nodes_per_row=npr)
+            self.packed = packed
             self.packed_nodes = jax.device_put(jnp.asarray(packed.nodes8))
             self.packed_tris = jax.device_put(jnp.asarray(packed.tris12))
             rows = cfg.packet_rows
@@ -216,6 +234,8 @@ class Renderer:
                 return trace_packet(
                     self.packed_nodes, self.packed_tris, o, d, tn, tx,
                     any_hit=any_hit, rows=rows, interpret=interpret,
+                    order="code", tris_per_row=packed.tris_per_row,
+                    nodes_per_row=packed.nodes_per_row,
                 )
         elif engine == "cpu_golden":  # host reference tracer (slow, exact)
             def _tracer(o, d, tn, tx, any_hit):

@@ -46,7 +46,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ntrace_tpu.bvh.packed import NODE_LANES, TRI_LANES, TRIS_PER_ROW
+from ntrace_tpu.bvh.packed import (NODE_LANES, NODES_PER_ROW, TRI_LANES,
+                                   TRIS_PER_ROW)
 from ntrace_tpu.ops.aabb import safe_inv_dir
 
 STACK_DEPTH = 128
@@ -54,10 +55,16 @@ INF = np.float32(3.0e38)
 MAX_STEPS = 4_000_000  # malformed-tree backstop, far above any real trace
 
 
-def _node_record(nodes_ref, node):
-    """(1, 128) with node's 16 lanes rolled to the front; scalar `node`."""
-    row = nodes_ref[pl.ds(jax.lax.shift_right_logical(node, 3), 1), :]
-    j = jnp.bitwise_and(node, 7)
+def _node_record(nodes_ref, node, npr: int):
+    """(1, 128) with node's 16 lanes rolled to the front; scalar `node`.
+
+    npr == 1 (one record per row) needs no roll at all -- the roll was
+    +68 ns of the inner step's serial chain (scripts/chain_probe.py)."""
+    if npr == 1:
+        return nodes_ref[pl.ds(node, 1), :]
+    shift_rows = npr.bit_length() - 1
+    row = nodes_ref[pl.ds(jax.lax.shift_right_logical(node, shift_rows), 1), :]
+    j = jnp.bitwise_and(node, npr - 1)
     shift = jnp.bitwise_and(128 - NODE_LANES * j, 127)
     return pltpu.roll(row, shift, axis=1)
 
@@ -87,7 +94,20 @@ def _slab_child(rec, base, ox, oy, oz, ix, iy, iz, tmin, tmax):
 
 
 def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
-                 order: str = "mins", light: bool = False):
+                 order: str = "mins", light: bool = False, ilv: int = 1,
+                 probe: str = "none", tpr: int = TRIS_PER_ROW,
+                 npr: int = NODES_PER_ROW):
+    """Build the packet kernel body.
+
+    ilv > 1 interleaves that many INDEPENDENT packets (each with its own
+    stack, hit state, and current node) inside one program: the per-step
+    serial chain (row load -> roll -> extracts -> slab -> reduce) is
+    latency-bound (~365 ns, PERF_NOTES.md "packet step anatomy"), so the
+    chains of different packets overlap in the pipeline nearly for free.
+    The group steps until its slowest packet finishes; screen-Morton ray
+    order keeps sibling packets' work similar.
+    """
+    assert not (stats and ilv != 1), "stats mode is single-packet only"
     shape = (rows, 128)
 
     def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, *rest):
@@ -97,81 +117,123 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
         else:
             (stack_ref,) = rest
         r = rows
-        ox, oy, oz = (rays_ref[0:r, :], rays_ref[r:2 * r, :],
-                      rays_ref[2 * r:3 * r, :])
-        ix, iy, iz = (rays_ref[3 * r:4 * r, :], rays_ref[4 * r:5 * r, :],
-                      rays_ref[5 * r:6 * r, :])
-        dx, dy, dz = (rays_ref[6 * r:7 * r, :], rays_ref[7 * r:8 * r, :],
-                      rays_ref[8 * r:9 * r, :])
-        tn, tx = rays_ref[9 * r:10 * r, :], rays_ref[10 * r:11 * r, :]
-        dead = tx <= tn  # padding / pre-killed rays
+        views = []
+        for s in range(ilv):
+            b = s * 11 * r
+            views.append(tuple(
+                rays_ref[b + c * r: b + (c + 1) * r, :] for c in range(11)))
 
-        def leaf_rows(row0, nrows, hs):
-            """Moller-Trumbore over `nrows` 12-slot rows; value-carried."""
-            def lbody(k, hs):
-                if stats:
-                    ctr_ref[0] = ctr_ref[0] + 1
-                cur_t, cur_id, cur_u, cur_v = hs
-                # Rows may straddle leaves (dense packing, bvh/packed.py);
-                # testing a neighbour leaf's real triangles is safe: the
-                # closest-hit update + tie-break is superset-invariant.
-                trow = tris_ref[pl.ds(row0 + k, 1), :]
-                for jj in range(TRIS_PER_ROW):
-                    b = TRI_LANES * jj
-                    v0x, v0y, v0z = trow[0, b + 0], trow[0, b + 1], trow[0, b + 2]
-                    e1x, e1y, e1z = trow[0, b + 3], trow[0, b + 4], trow[0, b + 5]
-                    e2x, e2y, e2z = trow[0, b + 6], trow[0, b + 7], trow[0, b + 8]
-                    tid = trow[0, b + 9].astype(jnp.int32)
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv = np.float32(1.0) / jnp.where(det == 0, np.float32(1.0), det)
-                    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-                    u = (tvx * px + tvy * py + tvz * pz) * inv
-                    qx = tvy * e1z - tvz * e1y
-                    qy = tvz * e1x - tvx * e1z
-                    qz = tvx * e1y - tvy * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-                    valid = (
-                        (det != 0) & (tid >= 0)
-                        & (u >= 0) & (v >= 0) & (u + v <= 1)
-                        & (t > tn)
-                    )
+        def make_leaf_rows(view):
+            ox, oy, oz, _, _, _, dx, dy, dz, tn, _ = view
+
+            def leaf_rows(row0, nrows, hs):
+                """Moller-Trumbore over `nrows` 12-slot rows; value-carried.
+
+                The 12 per-slot tests are independent; their results merge
+                through a BALANCED tree of (t, id) selects (depth 4) instead
+                of a 12-long sequential fold -- the fold was the serial chain
+                that made a leaf row cost ~1 us (packet_probe.py)."""
+                def lbody(k, hs):
+                    if stats:
+                        ctr_ref[0] = ctr_ref[0] + 1
+                    cur_t, cur_id, cur_u, cur_v = hs
+                    # Rows may straddle leaves (dense packing, bvh/packed.py);
+                    # testing a neighbour leaf's real triangles is safe: the
+                    # closest-hit update + tie-break is superset-invariant.
+                    trow = tris_ref[pl.ds(row0 + k, 1), :]
+                    cands = []
+                    for jj in range(tpr):
+                        b = TRI_LANES * jj
+                        v0x, v0y, v0z = trow[0, b + 0], trow[0, b + 1], trow[0, b + 2]
+                        e1x, e1y, e1z = trow[0, b + 3], trow[0, b + 4], trow[0, b + 5]
+                        e2x, e2y, e2z = trow[0, b + 6], trow[0, b + 7], trow[0, b + 8]
+                        tid = trow[0, b + 9].astype(jnp.int32)
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv = np.float32(1.0) / jnp.where(det == 0, np.float32(1.0), det)
+                        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                        u = (tvx * px + tvy * py + tvz * pz) * inv
+                        qx = tvy * e1z - tvz * e1y
+                        qy = tvz * e1x - tvx * e1z
+                        qz = tvx * e1y - tvy * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                        valid = (
+                            (det != 0) & (tid >= 0)
+                            & (u >= 0) & (v >= 0) & (u + v <= 1)
+                            & (t > tn)
+                        )
+                        # Invalid slots become (t=INF, id=INT_MAX): never
+                        # accepted -- acceptance below needs strict t < cur_t
+                        # or a tie won on a SMALLER id.
+                        cands.append((
+                            jnp.where(valid, t, INF),
+                            jnp.where(valid, tid, jnp.int32(0x7FFFFFFF)),
+                            u, v,
+                        ))
+                    while len(cands) > 1:
+                        nxt = []
+                        for a, bnd in zip(cands[0::2], cands[1::2]):
+                            take = (bnd[0] < a[0]) | ((bnd[0] == a[0])
+                                                      & (bnd[1] < a[1]))
+                            nxt.append(tuple(
+                                jnp.where(take, bnd[i], a[i])
+                                for i in range(2 if light else 4)
+                            ))
+                        if len(cands) % 2:
+                            nxt.append(cands[-1])
+                        cands = nxt
+                    bt, bid = cands[0][0], cands[0][1]
                     # Strict t < hitT plus lowest-tri-id tie-break: results
                     # do not depend on packet visit order.
-                    closer = (t < cur_t) | ((t == cur_t) & (tid < cur_id))
-                    acc = valid & closer
-                    cur_t = jnp.where(acc, t, cur_t)
-                    cur_id = jnp.where(acc, tid, cur_id)
+                    acc = (bt < cur_t) | ((bt == cur_t) & (bid < cur_id))
+                    cur_t = jnp.where(acc, bt, cur_t)
+                    cur_id = jnp.where(acc, bid, cur_id)
                     if not light:
-                        cur_u = jnp.where(acc, u, cur_u)
-                        cur_v = jnp.where(acc, v, cur_v)
-                return cur_t, cur_id, cur_u, cur_v
+                        cur_u = jnp.where(acc, cands[0][2], cur_u)
+                        cur_v = jnp.where(acc, cands[0][3], cur_v)
+                    return cur_t, cur_id, cur_u, cur_v
 
-            return jax.lax.fori_loop(0, nrows, lbody, hs)
+                return jax.lax.fori_loop(0, nrows, lbody, hs)
 
+            return leaf_rows
+
+        leaf_fns = [make_leaf_rows(v) for v in views]
         # Packet-mean direction signs steer near-child ordering in "code"
         # mode (one-time reduces replacing per-step near-t min-reduces).
-        signs = ((jnp.sum(dx) >= 0).astype(jnp.int32)
-                 | ((jnp.sum(dy) >= 0).astype(jnp.int32) << 1)
-                 | ((jnp.sum(dz) >= 0).astype(jnp.int32) << 2))
+        signs = []
+        deads = []
+        for view in views:
+            _, _, _, _, _, _, dx, dy, dz, tn, tx = view
+            signs.append((jnp.sum(dx) >= 0).astype(jnp.int32)
+                         | ((jnp.sum(dy) >= 0).astype(jnp.int32) << 1)
+                         | ((jnp.sum(dz) >= 0).astype(jnp.int32) << 2))
+            deads.append(tx <= tn)  # padding / pre-killed rays
 
         def cond(c):
-            return (c[0] >= 0) & jnp.logical_not(c[2]) & (c[3] < MAX_STEPS)
+            steps, nodes = c[0], c[1]
+            alive = nodes[0] >= 0
+            for s in range(1, ilv):
+                alive = alive | (nodes[s] >= 0)
+            return alive & (steps < MAX_STEPS)
 
-        def body(c):
-            node, sp, done, steps, hit_t, hit_id, hit_u, hit_v = c
-            rec = _node_record(nodes_ref, node)
+        def step_packet(s, node, sp, hit_t, hit_id, hit_u, hit_v):
+            """One traversal step of packet s; node == -1 means finished
+            (the step still executes but all its updates are masked)."""
+            ox, oy, oz, ix, iy, iz, dx, dy, dz, tn, tx = views[s]
+            dead = deads[s]
+            active = node >= 0
+            rec = _node_record(nodes_ref, jnp.maximum(node, 0), npr)
             live_t = jnp.where(dead, -INF, hit_t) if any_hit else hit_t
             h0, t0 = _slab_child(rec, 0, ox, oy, oz, ix, iy, iz, tn, live_t)
             h1, t1 = _slab_child(rec, 6, ox, oy, oz, ix, iy, iz, tn, live_t)
             if order == "mins":
                 n0 = jnp.min(jnp.where(h0, t0, INF))
                 n1 = jnp.min(jnp.where(h1, t1, INF))
-                any0 = n0 < INF
-                any1 = n1 < INF
+                any0 = (n0 < INF) & active
+                any1 = (n1 < INF) & active
                 first0 = n0 <= n1
             else:
                 # One reduce yields both children's any-hit flags
@@ -181,11 +243,11 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                 # both children are internal, the only case it's read).
                 hs_sum = jnp.sum(h0.astype(jnp.int32) << 16
                                  | h1.astype(jnp.int32))
-                any0 = hs_sum >= (1 << 16)
-                any1 = (hs_sum & 0xFFFF) > 0
+                any0 = (hs_sum >= (1 << 16)) & active
+                any1 = ((hs_sum & 0xFFFF) > 0) & active
                 code = rec[0, 14].astype(jnp.int32)
                 first0 = (jnp.bitwise_and(
-                    jax.lax.shift_right_logical(signs, code >> 1), 1
+                    jax.lax.shift_right_logical(signs[s], code >> 1), 1
                 ) == jnp.bitwise_and(code, 1))
             enc0 = rec[0, 12].astype(jnp.int32)
             enc1 = rec[0, 13].astype(jnp.int32)
@@ -193,16 +255,35 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
             leaf1 = enc1 < 0
 
             hs = (hit_t, hit_id, hit_u, hit_v)
-            hs = jax.lax.cond(
-                any0 & leaf0,
-                lambda hs: leaf_rows(-enc0 - 1, rec[0, 14].astype(jnp.int32), hs),
-                lambda hs: hs, hs,
-            )
-            hs = jax.lax.cond(
-                any1 & leaf1,
-                lambda hs: leaf_rows(-enc1 - 1, rec[0, 15].astype(jnp.int32), hs),
-                lambda hs: hs, hs,
-            )
+            if probe == "none":        # real kernel
+                hs = jax.lax.cond(
+                    any0 & leaf0,
+                    lambda hs: leaf_fns[s](-enc0 - 1, rec[0, 14].astype(jnp.int32), hs),
+                    lambda hs: hs, hs,
+                )
+                hs = jax.lax.cond(
+                    any1 & leaf1,
+                    lambda hs: leaf_fns[s](-enc1 - 1, rec[0, 15].astype(jnp.int32), hs),
+                    lambda hs: hs, hs,
+                )
+            elif probe == "noleafwork":  # WRONG results: conds taken, MT skipped
+                def empty(row0, nrows, hs):
+                    def lbody(k, hs):
+                        if stats:
+                            ctr_ref[0] = ctr_ref[0] + 1
+                        return hs
+                    return jax.lax.fori_loop(0, nrows, lbody, hs)
+                hs = jax.lax.cond(
+                    any0 & leaf0,
+                    lambda hs: empty(-enc0 - 1, rec[0, 14].astype(jnp.int32), hs),
+                    lambda hs: hs, hs,
+                )
+                hs = jax.lax.cond(
+                    any1 & leaf1,
+                    lambda hs: empty(-enc1 - 1, rec[0, 15].astype(jnp.int32), hs),
+                    lambda hs: hs, hs,
+                )
+            # probe == "noleaf": WRONG results: leaves ignored entirely.
             hit_t, hit_id, hit_u, hit_v = hs
 
             i0 = any0 & jnp.logical_not(leaf0)
@@ -210,41 +291,54 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
             both = i0 & i1
             near = jnp.where(first0, enc0, enc1)
             far = jnp.where(first0, enc1, enc0)
+            sbase = s * STACK_DEPTH
 
             @pl.when(both)
             def _():
-                stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = far
+                stack_ref[sbase + jnp.minimum(sp, STACK_DEPTH - 1)] = far
 
             sp1 = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
             desc = jnp.where(both, near,
                              jnp.where(i0, enc0, jnp.where(i1, enc1, -1)))
             need_pop = jnp.logical_not(i0 | i1)
             can_pop = sp1 > 0
-            popped = stack_ref[jnp.maximum(sp1 - 1, 0)]
+            popped = stack_ref[sbase + jnp.maximum(sp1 - 1, 0)]
             node2 = jnp.where(need_pop, jnp.where(can_pop, popped, -1), desc)
-            sp2 = jnp.where(need_pop & can_pop, sp1 - 1, sp1)
-            done2 = done
             if any_hit:
-                done2 = jnp.all((hit_id >= 0) | dead)
-            return (node2, sp2, done2, steps + 1,
-                    hit_t, hit_id, hit_u, hit_v)
+                node2 = jnp.where(jnp.all((hit_id >= 0) | dead),
+                                  jnp.int32(-1), node2)
+            sp2 = jnp.where(need_pop & can_pop, sp1 - 1, sp1)
+            return node2, sp2, hit_t, hit_id, hit_u, hit_v
+
+        def body(c):
+            steps, nodes, sps, hts, hids, hus, hvs = c
+            outs = [step_packet(s, nodes[s], sps[s], hts[s], hids[s],
+                                hus[s], hvs[s]) for s in range(ilv)]
+            return (steps + 1,) + tuple(
+                tuple(o[k] for o in outs) for k in range(6))
 
         zero = jnp.zeros(shape, jnp.float32)
-        final = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(0), jnp.bool_(False), jnp.int32(0),
-             tx, jnp.full(shape, -1, jnp.int32), zero, zero),
+        init = (
+            jnp.int32(0),
+            tuple(jnp.int32(0) for _ in range(ilv)),
+            tuple(jnp.int32(0) for _ in range(ilv)),
+            tuple(v[10] for v in views),                        # hit_t = tmax
+            tuple(jnp.full(shape, -1, jnp.int32) for _ in range(ilv)),
+            tuple(zero for _ in range(ilv)),
+            tuple(zero for _ in range(ilv)),
         )
-        # out_f packs [t | u | v] along sublanes; out_id is the tri id.
-        out_f[0:r, :] = final[4]
-        out_id[:] = final[5]
-        out_f[r:2 * r, :] = final[6]
-        out_f[2 * r:3 * r, :] = final[7]
+        final = jax.lax.while_loop(cond, body, init)
+        # Per packet: out_f packs [t | u | v] along sublanes; out_id = tri id.
+        for s in range(ilv):
+            out_f[s * 3 * r: s * 3 * r + r, :] = final[3][s]
+            out_id[s * r: (s + 1) * r, :] = final[4][s]
+            out_f[s * 3 * r + r: s * 3 * r + 2 * r, :] = final[5][s]
+            out_f[s * 3 * r + 2 * r: s * 3 * r + 3 * r, :] = final[6][s]
         if stats:
             # lane 0: inner steps, lane 1: leaf tri-rows visited.
             lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
             stats_ref[:] = jnp.where(
-                lane == 0, final[3],
+                lane == 0, final[0],
                 jnp.where(lane == 1, ctr_ref[0], 0),
             )
 
@@ -254,22 +348,27 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit", "stats",
-                     "order", "light"),
+                     "order", "light", "interleave", "probe",
+                     "tris_per_row", "nodes_per_row"),
 )
 def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  any_hit: bool = False, rows: int = 8,
                  interpret: bool = False, vmem_limit: int = 0,
                  stats: bool = False, order: str = "mins",
-                 light: bool = False):
+                 light: bool = False, interleave: int = 1,
+                 probe: str = "none", tris_per_row: int = TRIS_PER_ROW,
+                 nodes_per_row: int = NODES_PER_ROW):
     """Trace rays through a PackedBVH with the packet kernel.
 
     nodes8/tris12: device arrays of bvh/packed.py layout.
     orig/dirn (R,3), tmin/tmax (R,). Returns (hit_tri, hit_t, u, v), each
     (R,); hit_tri == -1 on miss. Rays are padded to a whole number of
-    `rows`*128 packets internally.
+    `rows`*128*`interleave` packet groups internally.
     """
+    if stats and interleave != 1:
+        raise ValueError("stats mode is single-packet only")
     R = orig.shape[0]
-    packet = rows * 128
+    packet = rows * 128 * interleave
     pad = (-R) % packet
     if pad:
         orig = jnp.concatenate([orig, jnp.zeros((pad, 3), orig.dtype)])
@@ -290,21 +389,22 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
         tile(dirn[:, 0]), tile(dirn[:, 1]), tile(dirn[:, 2]),
         tile(tmin), tile(tmax),
     ], axis=1)  # (packets, 11, rows, 128)
+    ilv = interleave
     grid = rp // packet
-    rays_in = comps.reshape(grid * 11 * rows, 128)
+    rays_in = comps.reshape(grid * ilv * 11 * rows, 128)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_spec = pl.BlockSpec((11 * rows, 128), lambda i: (i, 0),
+    in_spec = pl.BlockSpec((ilv * 11 * rows, 128), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    outf_spec = pl.BlockSpec((3 * rows, 128), lambda i: (i, 0),
+    outf_spec = pl.BlockSpec((ilv * 3 * rows, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    outi_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+    outi_spec = pl.BlockSpec((ilv * rows, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((grid * 3 * rows, 128), jnp.float32),  # t,u,v
-        jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32),        # hit id
+        jax.ShapeDtypeStruct((grid * ilv * 3 * rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((grid * ilv * rows, 128), jnp.int32),   # hit id
     ]
     out_specs = [outf_spec, outi_spec]
-    scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+    scratch = [pltpu.SMEM((ilv * STACK_DEPTH,), jnp.int32)]
     if stats:
         out_shape.append(jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32))
         out_specs.append(outi_spec)
@@ -320,7 +420,8 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
             vmem_limit_bytes=limit,
         )
     outs = pl.pallas_call(
-        _make_kernel(rows, any_hit, stats, order, light),
+        _make_kernel(rows, any_hit, stats, order, light, ilv, probe,
+                     tris_per_row, nodes_per_row),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=out_specs,
@@ -329,7 +430,7 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
         interpret=interpret,
         **params,
     )(nodes8, tris12, rays_in)
-    tuv = outs[0].reshape(grid, 3, rows, 128)
+    tuv = outs[0].reshape(grid * ilv, 3, rows, 128)
     flat = lambda a: a.reshape(-1)[:R]
     result = (flat(outs[1]), flat(tuv[:, 0]), flat(tuv[:, 1]),
               flat(tuv[:, 2]))

@@ -71,14 +71,22 @@ def test_pack_roundtrip(soup_small):
         assert tid < 0 and not e1.any() and not e2.any()
 
 
-@pytest.mark.parametrize("rows", [8, 16])
-def test_packet_matches_golden(soup_small, rng, rows):
-    flat, packed = _packed(soup_small)
+@pytest.mark.parametrize("rows,interleave,order,tpr,npr", [
+    (8, 1, "mins", 12, 8), (16, 1, "code", 12, 8),
+    (8, 4, "mins", 4, 1), (16, 2, "code", 4, 1),
+])
+def test_packet_matches_golden(soup_small, rng, rows, interleave, order,
+                               tpr, npr):
+    flat = flatten_bvh(
+        build_sbvh(soup_small, BuildConfig(builder="binned_sah")), soup_small)
+    packed = pack_bvh(flat, soup_small.tri_verts(),
+                      tris_per_row=tpr, nodes_per_row=npr)
     orig, dirn, tmin, tmax = random_rays(rng, 700)  # deliberately not a packet multiple
     tmax = np.minimum(tmax, 1e9).astype(np.float32)
     tri, t, u, v = trace_packet(
         packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
-        any_hit=False, rows=rows, interpret=True,
+        any_hit=False, rows=rows, interpret=True, interleave=interleave,
+        order=order, tris_per_row=tpr, nodes_per_row=npr,
     )
     ref = brute_force_mt(soup_small, orig, dirn, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(tri), ref.tri)
@@ -95,6 +103,58 @@ def test_packet_anyhit(soup_medium, rng):
     tri, t, u, v = trace_packet(
         packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
         any_hit=True, interpret=True,
+    )
+    blocked = brute_force_anyhit(soup_medium, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri) >= 0, blocked)
+
+
+@pytest.mark.parametrize("engine", ["ifif", "ww"])
+@pytest.mark.parametrize("rows,interleave,tpr,npr", [
+    (8, 1, 12, 8), (16, 2, 4, 1), (8, 4, 4, 8),
+])
+def test_packet_variants_match_golden(soup_small, rng, engine, rows,
+                                      interleave, tpr, npr):
+    """The speculative if-if and while-while engines are pixel-identical
+    to the golden (and hence to the cond-structured packet engine)."""
+    from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
+    from ntrace_tpu.trace.packet_ww import trace_packet_ww
+
+    fn = trace_packet_ifif if engine == "ifif" else trace_packet_ww
+    flat = flatten_bvh(
+        build_sbvh(soup_small, BuildConfig(builder="binned_sah")), soup_small)
+    packed = pack_bvh(flat, soup_small.tri_verts(),
+                      tris_per_row=tpr, nodes_per_row=npr)
+    orig, dirn, tmin, tmax = random_rays(rng, 700)
+    tmax = np.minimum(tmax, 1e9).astype(np.float32)
+    tri, t, u, v = fn(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=rows, interpret=True, interleave=interleave,
+        tris_per_row=tpr, nodes_per_row=npr,
+    )
+    ref = brute_force_mt(soup_small, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri), ref.tri)
+    hit = ref.tri >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], ref.t[hit],
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("engine", ["ifif", "ww"])
+def test_packet_variants_anyhit(soup_medium, rng, engine):
+    from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
+    from ntrace_tpu.trace.packet_ww import trace_packet_ww
+
+    fn = trace_packet_ifif if engine == "ifif" else trace_packet_ww
+    flat = flatten_bvh(
+        build_sbvh(soup_medium, BuildConfig(builder="binned_sah")),
+        soup_medium)
+    packed = pack_bvh(flat, soup_medium.tri_verts(),
+                      tris_per_row=4, nodes_per_row=8)
+    orig, dirn, tmin, tmax = random_rays(rng, 1024)
+    tmax = np.full_like(tmax, 14.0)
+    tri, t, u, v = fn(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        any_hit=True, interpret=True, interleave=2,
+        tris_per_row=4, nodes_per_row=8,
     )
     blocked = brute_force_anyhit(soup_medium, orig, dirn, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(tri) >= 0, blocked)
