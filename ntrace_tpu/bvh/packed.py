@@ -76,6 +76,47 @@ def _decode_leaf_runs(flat: FlatBVH):
     return starts.astype(np.int64), (ends - starts).astype(np.int64), children
 
 
+def pack_tris(flat: FlatBVH, tri_verts: np.ndarray, starts, counts,
+              tris_per_row: int):
+    """Lane-pack the leaf triangle runs (shared by pack_bvh and the 8-wide
+    packer).
+
+    DENSE packing: leaf runs are concatenated with no row alignment, so a
+    row may straddle leaves. The kernels test every slot of every row a
+    leaf's run touches -- neighbouring leaves' triangles are real scene
+    triangles, so extra tests cannot change the closest (or any-) hit.
+    This keeps rows ~full: SAH leaves average ~2 triangles, and per-leaf
+    row alignment was a 6x VMEM and leaf-VPU-work blowup.
+
+    Returns (tris12, first_slot, leaf_row_span, total_slots).
+    """
+    tpr = tris_per_row
+    total = int(counts.sum())
+    first_slot = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    last_slot = first_slot + counts - 1
+    leaf_rows = last_slot // tpr - first_slot // tpr + 1
+    TR = -(-total // tpr)
+    TR_pad = max(8, -(-TR // 8) * 8)
+
+    # Gather triangle ids leaf-by-leaf (vectorized repeat/cumsum walk).
+    cumc = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cumc, counts)
+    src_rows = np.repeat(starts, counts) + within
+    ids = flat.tri_index[src_rows].astype(np.int64)
+    slot = np.arange(total, dtype=np.int64)
+
+    tris = np.zeros((TR_pad * tpr, TRI_LANES), dtype=np.float32)
+    tris[:, 9] = -1.0
+    v0 = tri_verts[ids, 0]
+    tris[slot, 0:3] = v0
+    tris[slot, 3:6] = tri_verts[ids, 1] - v0
+    tris[slot, 6:9] = tri_verts[ids, 2] - v0
+    tris[slot, 9] = ids.astype(np.float32)
+    tris12 = np.zeros((TR_pad, 128), dtype=np.float32)
+    tris12[:, : tpr * TRI_LANES] = tris.reshape(TR_pad, -1)
+    return tris12, first_slot, leaf_rows, total
+
+
 def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, *,
              tris_per_row: int = TRIS_PER_ROW,
              nodes_per_row: int = NODES_PER_ROW) -> PackedBVH:
@@ -93,35 +134,8 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, *,
     TRIS_PER_ROW = tris_per_row
     NODES_PER_ROW = nodes_per_row
     starts, counts, children = _decode_leaf_runs(flat)
-    # DENSE packing: leaf runs are concatenated with no row alignment, so
-    # a row may straddle leaves. The kernel tests every slot of every row
-    # a leaf's run touches -- neighbouring leaves' triangles are real scene
-    # triangles, so extra tests cannot change the closest (or any-) hit.
-    # This keeps rows ~full: SAH leaves average ~2 triangles, and per-leaf
-    # row alignment was a 6x VMEM and leaf-VPU-work blowup.
-    total = int(counts.sum())
-    first_slot = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    last_slot = first_slot + counts - 1
-    leaf_rows = last_slot // TRIS_PER_ROW - first_slot // TRIS_PER_ROW + 1
-    TR = -(-total // TRIS_PER_ROW)
-    TR_pad = max(8, -(-TR // 8) * 8)
-
-    # Gather triangle ids leaf-by-leaf (vectorized repeat/cumsum walk).
-    cumc = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    within = np.arange(total, dtype=np.int64) - np.repeat(cumc, counts)
-    src_rows = np.repeat(starts, counts) + within
-    ids = flat.tri_index[src_rows].astype(np.int64)
-    slot = np.arange(total, dtype=np.int64)
-
-    tris = np.zeros((TR_pad * TRIS_PER_ROW, TRI_LANES), dtype=np.float32)
-    tris[:, 9] = -1.0
-    v0 = tri_verts[ids, 0]
-    tris[slot, 0:3] = v0
-    tris[slot, 3:6] = tri_verts[ids, 1] - v0
-    tris[slot, 6:9] = tri_verts[ids, 2] - v0
-    tris[slot, 9] = ids.astype(np.float32)
-    tris12 = np.zeros((TR_pad, 128), dtype=np.float32)
-    tris12[:, : TRIS_PER_ROW * TRI_LANES] = tris.reshape(TR_pad, -1)
+    tris12, first_slot, leaf_rows, total = pack_tris(
+        flat, tri_verts, starts, counts, tris_per_row)
 
     # Node records: remap leaf children (~woopRow) -> -(firstSlot + 1), and
     # the spanned-row count. Internal-internal nodes carry a traversal

@@ -152,6 +152,7 @@ class Renderer:
                 if est_bytes <= (96 << 20):
                     engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
+                         "packet_ifif", "packet_ww", "packet_wide",
                          "cpu_golden")
         if engine not in known_engines:
             raise ValueError(
@@ -214,9 +215,27 @@ class Renderer:
                 out = trace_wide(self.wt_dev, self.wt_nodes, o, d, tn, tx,
                                  any_hit=any_hit, chunk=chunk)
                 return tuple(x[:r] for x in out)
-        elif engine == "packet":  # Pallas shared-stack packet kernel
+        elif engine == "packet_wide":  # 8-wide frustum-interval Pallas kernel
+            from ntrace_tpu.bvh.wide_packed import pack_wide_bvh
+            from ntrace_tpu.trace.packet_wide import trace_packet_wide
+
+            wp = pack_wide_bvh(self.flat, scene.tri_verts(), tris_per_row=4)
+            self.packed = wp
+            self.packed_nodes = jax.device_put(jnp.asarray(wp.nodes_w))
+            self.packed_tris = jax.device_put(jnp.asarray(wp.tris12))
+            rows = cfg.packet_rows
+            interpret = jax.default_backend() not in ("tpu", "axon")
+
+            def _tracer(o, d, tn, tx, any_hit):
+                return trace_packet_wide(
+                    self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                    any_hit=any_hit, rows=rows, interpret=interpret,
+                    interleave=2, tris_per_row=wp.tris_per_row,
+                )
+        elif engine in ("packet", "packet_ifif", "packet_ww"):
+            # Pallas shared-stack packet kernels (three schedules of the
+            # same traversal; see trace/packet_*.py)
             from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
-            from ntrace_tpu.trace.packet_pallas import trace_packet
 
             tpr, npr = pick_layout(
                 self.flat.nodes.shape[0],
@@ -230,13 +249,36 @@ class Renderer:
             # No Mosaic backend off-TPU: tests run the interpreter.
             interpret = jax.default_backend() not in ("tpu", "axon")
 
-            def _tracer(o, d, tn, tx, any_hit):
-                return trace_packet(
-                    self.packed_nodes, self.packed_tris, o, d, tn, tx,
-                    any_hit=any_hit, rows=rows, interpret=interpret,
-                    order="code", tris_per_row=packed.tris_per_row,
-                    nodes_per_row=packed.nodes_per_row,
-                )
+            if engine == "packet":
+                from ntrace_tpu.trace.packet_pallas import trace_packet
+
+                def _tracer(o, d, tn, tx, any_hit):
+                    return trace_packet(
+                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                        any_hit=any_hit, rows=rows, interpret=interpret,
+                        order="code", tris_per_row=packed.tris_per_row,
+                        nodes_per_row=packed.nodes_per_row,
+                    )
+            elif engine == "packet_ifif":
+                from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
+
+                def _tracer(o, d, tn, tx, any_hit):
+                    return trace_packet_ifif(
+                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                        any_hit=any_hit, rows=rows, interpret=interpret,
+                        tris_per_row=packed.tris_per_row,
+                        nodes_per_row=packed.nodes_per_row,
+                    )
+            else:
+                from ntrace_tpu.trace.packet_ww import trace_packet_ww
+
+                def _tracer(o, d, tn, tx, any_hit):
+                    return trace_packet_ww(
+                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                        any_hit=any_hit, rows=rows, interpret=interpret,
+                        tris_per_row=packed.tris_per_row,
+                        nodes_per_row=packed.nodes_per_row,
+                    )
         elif engine == "cpu_golden":  # host reference tracer (slow, exact)
             def _tracer(o, d, tn, tx, any_hit):
                 from ntrace_tpu.trace.cpu import trace_cpu_golden

@@ -5,17 +5,21 @@ The reference selects a traversal kernel by compilation-unit name
 KernelConfig). The rebuild keeps those names as aliases so reference
 benchmark scripts translate directly; each maps onto a TPU engine variant.
 
-CUDA-variant -> TPU-engine correspondence (SURVEY.md SS3.3):
-  persistent threads      ~ the batch lockstep loop itself (all rays in
-                            flight advance per step; chunking = warp pool)
-  while-while             ~ the unified node/leaf state machine step
-  speculative while-while ~ phase masking (every step evaluates both
-                            phases vectorized -- speculation is implicit)
-  dynamic ray fetch       ~ chunked batches (finished chunks retire and
-                            the next chunk launches; in-engine refill
-                            lands with the wavefront engine)
-  packet                  ~ Morton-ordered pixel batches (screen-coherent
-                            chunks ARE packets at batch granularity)
+CUDA-variant -> TPU-engine correspondence (SURVEY.md SS3.3). These are now
+DISTINCT kernels with genuinely different schedules, not aliases:
+  while-while             ~ packet_ww (trace/packet_ww.py): phase-separated
+                            node loop + leaf loop, branch-free, leaf queue
+  speculative while-while ~ packet_ifif (trace/packet_ifif.py): every step
+                            executes BOTH phases, results select-masked --
+                            the literal if-if speculation, branch-free
+  packet                  ~ packet (trace/packet_pallas.py): shared-stack
+                            cond-structured traversal, inline leaf phases
+                            (fastest on conference primaries)
+  packet + frustum        ~ packet_wide (trace/packet_wide.py): 8-ary
+                            nodes, conservative packet-frustum culling
+  persistent threads      ~ the one-dispatch chunked XLA engines (stack2/
+                            persistent.py); dynamic ray fetch ~ their chunk
+                            retirement (in-kernel refill: future work)
 """
 
 from __future__ import annotations
@@ -32,13 +36,16 @@ class KernelSpec:
 
 _REGISTRY = {
     # Reference kernel names (aliases for script compatibility):
-    "tesla_persistent_while_while": KernelSpec("stack", 1 << 16),
-    "tesla_persistent_packet": KernelSpec("packet", 1 << 22,
-                                          "Pallas shared-stack packet kernel"),
-    "tesla_persistent_speculative_while_while": KernelSpec("stack2", 1 << 16),
-    "fermi_speculative_while_while": KernelSpec("packet", 1 << 22,
-                                                "fastest engine on TPU"),
-    "kepler_dynamic_fetch": KernelSpec("stack2", 1 << 16),
+    "tesla_persistent_while_while": KernelSpec(
+        "packet_ww", 1 << 22, "phase-separated while-while Pallas kernel"),
+    "tesla_persistent_packet": KernelSpec(
+        "packet_wide", 1 << 22, "8-wide frustum packet Pallas kernel"),
+    "tesla_persistent_speculative_while_while": KernelSpec(
+        "packet_ifif", 1 << 22, "branch-free speculative if-if kernel"),
+    "fermi_speculative_while_while": KernelSpec(
+        "packet", 1 << 22, "fastest engine on TPU"),
+    "kepler_dynamic_fetch": KernelSpec("stack2", 1 << 16,
+                                       "chunk-retirement ray refill"),
     "fermi_kdtree_while_while": KernelSpec("kdtree", 1 << 13,
                                            "pair with --builder=kdtree"),
     # Native names:
@@ -48,6 +55,12 @@ _REGISTRY = {
     "kdtree": KernelSpec("kdtree", 1 << 13, "interval-stack kd engine"),
     "packet": KernelSpec("packet", 1 << 22,
                          "Pallas VMEM shared-stack packet kernel"),
+    "packet_ifif": KernelSpec("packet_ifif", 1 << 22,
+                              "branch-free speculative if-if kernel"),
+    "packet_ww": KernelSpec("packet_ww", 1 << 22,
+                            "phase-separated while-while kernel"),
+    "packet_wide": KernelSpec("packet_wide", 1 << 22,
+                              "8-wide frustum-interval packet kernel"),
     "wavefront": KernelSpec("stack2", 1 << 16,
                             "sorted wavefront pending (PERF_NOTES.md)"),
     "cpu_golden": KernelSpec("cpu_golden", 1 << 30),

@@ -224,7 +224,10 @@ def time_level(level, grid):
     nodes[:, 12] = enc[:, 0]
     nodes[:, 13] = enc[:, 1]
     rays = rng.standard_normal((grid * 6 * ROWS, 128), dtype=np.float32)
-    if level.startswith("PL"):
+    if level.startswith("E"):
+        ke, n = level[1:].split("x")
+        kern = make_extract_kernel(int(ke), int(n))
+    elif level.startswith("PL"):
         kern = make_leaf_kernel(int(level[3:]) if "x" in level else 1)
     elif "x" in level:
         base, n = level.split("x")
@@ -259,6 +262,36 @@ def time_level(level, grid):
     return best
 
 
+
+def make_extract_kernel(n_extracts: int, n_chains: int):
+    """Price lane extracts: load + K static-lane extracts, scalar-summed."""
+    def kernel(nodes_ref, rays_ref, out_ref, stack_ref):
+        def body(k, c):
+            nodes, accs = c
+            acc = accs[0]
+            outn = []
+            for s in range(n_chains):
+                node = nodes[s]
+                row = nodes_ref[pl.ds(jax.lax.rem(node + s, NROWS), 1), :]
+                enc = row[0, 12].astype(jnp.int32)  # ints 0..7: stays in range
+                tot = row[0, 0]
+                for j in range(1, n_extracts):
+                    tot = tot + row[0, j % 12]
+                acc = acc + tot  # keep extracts live without steering the walk
+                outn.append(node + enc + 1)
+            return tuple(outn), (acc,)
+
+        init = (tuple(jnp.int32(1 + s) for s in range(n_chains)),
+                (jnp.zeros((ROWS, 128), jnp.float32),))
+        fn, fa = jax.lax.fori_loop(0, STEPS, body, init)
+        tot = fa[0] + fn[0].astype(jnp.float32)
+        for s in range(1, n_chains):
+            tot = tot + fn[s].astype(jnp.float32)
+        out_ref[:] = tot
+
+    return kernel
+
+
 levels = sys.argv[1].split(",") if len(sys.argv) > 1 else (
     "P0", "P1", "P2", "P3", "P4", "PL")
 for level in levels:
@@ -267,3 +300,4 @@ for level in levels:
     ns = (t_big - t_small) / ((40 - 8) * STEPS) * 1e9
     print(f"{level}: {ns:7.1f} ns/step  (g8 {t_small*1e3:.1f} ms, "
           f"g40 {t_big*1e3:.1f} ms)", flush=True)
+
