@@ -152,8 +152,8 @@ class Renderer:
                 if est_bytes <= (96 << 20):
                     engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
-                         "packet_ifif", "packet_ww", "packet_wide",
-                         "cpu_golden")
+                         "packet_ifif", "packet_ww", "packet_pipe",
+                         "packet_wide", "cpu_golden")
         if engine not in known_engines:
             raise ValueError(
                 f"unknown engine {engine!r}; known: {known_engines}"
@@ -232,7 +232,7 @@ class Renderer:
                     any_hit=any_hit, rows=rows, interpret=interpret,
                     interleave=2, tris_per_row=wp.tris_per_row,
                 )
-        elif engine in ("packet", "packet_ifif", "packet_ww"):
+        elif engine in ("packet", "packet_ifif", "packet_ww", "packet_pipe"):
             # Pallas shared-stack packet kernels (three schedules of the
             # same traversal; see trace/packet_*.py)
             from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
@@ -270,10 +270,14 @@ class Renderer:
                         nodes_per_row=packed.nodes_per_row,
                     )
             else:
+                from ntrace_tpu.trace.packet_pipe import trace_packet_pipe
                 from ntrace_tpu.trace.packet_ww import trace_packet_ww
 
+                fn = (trace_packet_ww if engine == "packet_ww"
+                      else trace_packet_pipe)
+
                 def _tracer(o, d, tn, tx, any_hit):
-                    return trace_packet_ww(
+                    return fn(
                         self.packed_nodes, self.packed_tris, o, d, tn, tx,
                         any_hit=any_hit, rows=rows, interpret=interpret,
                         tris_per_row=packed.tris_per_row,

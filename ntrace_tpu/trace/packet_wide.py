@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ntrace_tpu.ops.aabb import safe_inv_dir
 from ntrace_tpu.trace.packet_common import (INF, mt_row_best, packet_signs,
-                                            ray_views, stage_rays)
+                                            ray_views, slab_child, stage_rays)
 
 STACK_DEPTH = 128
 QCAP = 48                        # leaf-queue entries per packet
@@ -60,8 +60,25 @@ TMAX_CAP = np.float32(1.0e36)
 MAX_OUTER = 1 << 20
 
 
+def _or_tree_mask(v, rows: int):
+    """OR-reduce a per-lane bit-packed (rows,128) int32 tile to one scalar.
+
+    Explicit slice/roll OR tree instead of a builtin reduce: the builtin
+    cross-lane reduce was the node step's non-overlapping serial cost
+    (PERF_NOTES.md round-2 findings)."""
+    r = rows
+    while r > 1:
+        v = jnp.bitwise_or(v[: r // 2], v[r // 2: 2 * (r // 2)])
+        r //= 2
+    sh = 64
+    while sh >= 1:
+        v = jnp.bitwise_or(v, pltpu.roll(v, sh, axis=1))
+        sh //= 2
+    return v[0, 0]
+
+
 def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
-                 tpr: int, stats: bool):
+                 tpr: int, stats: bool, exact: bool = False):
     shape = (rows, 128)
 
     def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, *rest):
@@ -158,12 +175,28 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
             tn_los.append(jnp.min(tn))
 
         # ---- node phase step ---------------------------------------------
-        def node_step(s, item, sp, qn, ptmax):
+        def node_step(s, item, sp, qn, ptmax, htile):
             act = (item != DONE) & (qn < QCAP - 8)
             sbase = s * (STACK_DEPTH + 1)
             qbase = s * (QCAP + 1)
-            ptiles, iAl, iAh, oAl, oAh, amask, amask1 = pats[s]
             row = nodes_ref[pl.ds(jnp.clip(item, 0, max_node), 1), :]
+            if exact:
+                # per-lane slab culling of all 8 children; per-child "any
+                # lane hits" comes back through one bit-packed OR tree.
+                ox, oy, oz, ix, iy, iz = views[s][:6]
+                tn = views[s][9]
+                live_t = (jnp.where(deads[s], -INF, htile)
+                          if any_hit else htile)
+                hv = jnp.zeros(shape, jnp.int32)
+                for k in range(8):
+                    h_k, _ = slab_child(row, 16 * k, ox, oy, oz, ix, iy, iz,
+                                        tn, live_t)
+                    hv = hv | (h_k.astype(jnp.int32) << k)
+                mask = _or_tree_mask(hv, rows)
+                mask = jnp.where(act, mask, 0)
+                return _node_finish(s, item, sp, qn, act, row, mask,
+                                    sbase, qbase)
+            ptiles, iAl, iAh, oAl, oAh, amask, amask1 = pats[s]
             # frustum: child culled if any plane has its max corner outside
             inside = None
             for P, beta in ptiles:
@@ -197,7 +230,10 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
                              <= jnp.fmin(ext, ptmax)))
             mask = jnp.sum(jnp.where(hit, wtile, 0.0)).astype(jnp.int32)
             mask = jnp.where(act, mask, 0)
+            return _node_finish(s, item, sp, qn, act, row, mask,
+                                sbase, qbase)
 
+        def _node_finish(s, item, sp, qn, act, row, mask, sbase, qbase):
             # ordered unroll: extract the 8 slot items once, pick the first
             # hit INTERNAL child (in slot^octant order) as descent, push the
             # other internal hits far-to-near, queue the leaf hits.
@@ -271,7 +307,7 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
             return item, qn2, (cur_t, cur_id, cur_u, cur_v)
 
         # ---- phase loops ---------------------------------------------------
-        def node_loop(items, sps, qns, ptmaxs, nsteps):
+        def node_loop(items, sps, qns, ptmaxs, hts, nsteps):
             def cond(c):
                 items, _, qns = c[0], c[1], c[2]
                 go = (items[0] != DONE) & (qns[0] < QCAP - 8)
@@ -281,7 +317,8 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
 
             def body(c):
                 items, sps, qns, n = c
-                outs = [node_step(s, items[s], sps[s], qns[s], ptmaxs[s])
+                outs = [node_step(s, items[s], sps[s], qns[s], ptmaxs[s],
+                                  hts[s])
                         for s in range(ilv)]
                 return (tuple(o[0] for o in outs),
                         tuple(o[1] for o in outs),
@@ -316,7 +353,8 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
         def outer_body(c):
             items, sps, qns, hss, counts, k = c
             ptmaxs = tuple(jnp.max(hss[s][0]) for s in range(ilv))
-            items, sps, qns, n = node_loop(items, sps, qns, ptmaxs,
+            hts = tuple(hss[s][0] for s in range(ilv))
+            items, sps, qns, n = node_loop(items, sps, qns, ptmaxs, hts,
                                            counts[0])
             items, qns, hss, m = leaf_loop(items, qns, hss, counts[1])
             return (items, sps, qns, hss, (n, m), k + 1)
@@ -350,13 +388,15 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit",
-                     "light", "interleave", "tris_per_row", "stats"),
+                     "light", "interleave", "tris_per_row", "stats",
+                     "exact"),
 )
 def trace_packet_wide(nodes_w, tris12, orig, dirn, tmin, tmax, *,
                       any_hit: bool = False, rows: int = 8,
                       interpret: bool = False, vmem_limit: int = 0,
                       light: bool = False, interleave: int = 1,
-                      tris_per_row: int = 4, stats: bool = False):
+                      tris_per_row: int = 4, stats: bool = False,
+                      exact: bool = False):
     """Trace rays with the 8-wide interval packet kernel.
 
     nodes_w/tris12: bvh/wide_packed.py tables. Same contract as
@@ -393,7 +433,7 @@ def trace_packet_wide(nodes_w, tris12, orig, dirn, tmin, tmax, *,
             vmem_limit_bytes=limit,
         )
     outs = pl.pallas_call(
-        _make_kernel(rows, any_hit, light, ilv, tris_per_row, stats),
+        _make_kernel(rows, any_hit, light, ilv, tris_per_row, stats, exact),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=out_specs,

@@ -59,6 +59,8 @@ _REGISTRY = {
                               "branch-free speculative if-if kernel"),
     "packet_ww": KernelSpec("packet_ww", 1 << 22,
                             "phase-separated while-while kernel"),
+    "packet_pipe": KernelSpec("packet_pipe", 1 << 22,
+                              "software-pipelined while-while kernel"),
     "packet_wide": KernelSpec("packet_wide", 1 << 22,
                               "8-wide frustum-interval packet kernel"),
     "wavefront": KernelSpec("stack2", 1 << 16,
