@@ -40,9 +40,18 @@ _I32_MAX = np.int32(2**31 - 1)
 
 
 def _mset(arr, idx, val, mask):
-    """Masked scatter: arr[idx] = val where mask (others dropped)."""
+    """Masked scatter: arr[idx] = val where mask (others dropped).
+
+    unique_indices is a real promise everywhere this is used: live target
+    slots are distinct (cumsum-allocated or distinct rows), and the masked-
+    off rows all collapse onto one out-of-bounds index that XLA drops
+    before any collision handling. (Measured: the promise did NOT change
+    TPU scatter cost here -- ~7 ns/row either way, scripts/
+    lbvh_level_ablate.py -- but it is true and costs nothing.)
+    """
     oob = arr.shape[0]
-    return arr.at[jnp.where(mask, idx, oob)].set(val, mode="drop")
+    return arr.at[jnp.where(mask, idx, oob)].set(
+        val, mode="drop", unique_indices=True)
 
 
 def _device_woopify(tv):
@@ -172,7 +181,8 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
         has_parent = split & (ps >= 0)
         pr = jnp.where(has_parent, ps >> 1, ncap)
         pc = jnp.where(has_parent, ps & 1, 0)
-        children = children.at[pr, pc].set(node_idx, mode="drop")
+        children = children.at[pr, pc].set(node_idx, mode="drop",
+                                           unique_indices=True)
         is_marker = split & (ps <= -2)
         cluster_roots = _mset(cluster_roots, -ps - 2, node_idx, is_marker)
 
@@ -240,7 +250,8 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
     ps = parent_slot
     pr = jnp.where(resid_p, ps >> 1, ncap)
     pc = jnp.where(resid_p, ps & 1, 0)
-    children = children.at[pr, pc].set(~ridx, mode="drop")
+    children = children.at[pr, pc].set(~ridx, mode="drop",
+                                       unique_indices=True)
     cluster_roots = _mset(cluster_roots, -ps - 2, ~ridx, resid_m)
     leaf_next = leaf_next + rsum[-1]
 
@@ -307,13 +318,14 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
     dst = iota + runs_incl - 1  # shift by #sentinels inserted before row i
     sent_val = jax.lax.bitcast_convert_type(jnp.int32(-0x80000000), jnp.float32)
     woop = jnp.zeros((wcap, 12), jnp.float32)
-    woop = woop.at[dst].set(w, mode="drop")
+    woop = woop.at[dst].set(w, mode="drop", unique_indices=True)
     sent_rows = woop_off_leaf + leaf_count  # per leaf slot
     woop = woop.at[jnp.where(is_leaf_slot, sent_rows, wcap), 0].set(
-        sent_val, mode="drop"
+        sent_val, mode="drop", unique_indices=True
     )
     tri_index = jnp.full((wcap,), -1, jnp.int32)
-    tri_index = tri_index.at[dst].set(order.astype(jnp.int32), mode="drop")
+    tri_index = tri_index.at[dst].set(order.astype(jnp.int32), mode="drop",
+                                      unique_indices=True)
 
     # Forest metadata: cluster roots in FINAL child encoding.
     cr_leaf = cluster_roots < 0
@@ -327,8 +339,203 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
                 n_clusters=ordinal[-1] + 1)
 
 
+@partial(jax.jit, static_argnames=("max_leaf",))
+def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
+                     max_leaf=4):
+    """Single-pass LBVH emission: the <50 ms/Mtri path.
+
+    The 30-level radix sweep (lbvh_device above, kept for the HLBVH forest
+    mode) is scatter-bound: ~12 full-array scatters per level at ~7 ns/row
+    each = ~85 ms/level at 1M tris (scripts/lbvh_level_ablate.py). This
+    builder emits the SAME class of tree (the Karras-2012 binary radix
+    tree, viewed as a Cartesian tree over boundary split-levels) with a
+    single pass of scans and exactly TWO full-array scatters:
+
+      - delta[i] = common-prefix length of sorted codes (i-1, i); the tree
+        over boundaries is the Cartesian tree of (delta, i) priorities.
+      - parent/range/side per boundary come from all-nearest-smaller-
+        values (ANSV), computed with two (31, n) 2-D scans -- one row per
+        of the 31 possible delta values, cummax/cummin along rows -- plus
+        a 31-way select chain. No per-node binary searches (gather-bound),
+        no per-level scatters.
+      - leaf pruning by range size (subtrees with <= max_leaf rows become
+        leaves), record assembly, and child AABBs (sparse range-min table)
+        are elementwise + 4 row-gathers.
+      - the only scatters: the kept-child -> parent-slot link, and the
+        woop/tri-index row placement (gap rows pre-initialized to the
+        0x80000000 leaf sentinel, so no separate sentinel scatter).
+
+    Node ids are SPARSE (boundary index = node id; row i live iff
+    kept[i]); the host wrapper compacts and puts the root at index 0.
+    Returns dict(nodes (n,16), woop (2n,12), tri_index (2n,), kept (n,),
+    root, node_count, leaf_count, order).
+    """
+    n = tri_lo.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cent = (tri_lo + tri_hi) * jnp.float32(0.5)
+    codes = morton_codes_3d(jnp, cent, scene_lo, scene_hi)
+    # num_keys=2: index tiebreak makes the permutation deterministic for
+    # duplicate codes (golden-image stability). All per-tri payload rides
+    # through the sort as extra operands: a 17-operand sort costs ~2.2 ms
+    # at 1M vs ~12 ms for the equivalent post-sort row gather
+    # (scripts/lbvh_fast_parts.py).
+    tvf = tri_verts.reshape(n, 9)
+    sorted_ops = jax.lax.sort(
+        (codes, iota)
+        + tuple(tri_lo[:, j] for j in range(3))
+        + tuple(tri_hi[:, j] for j in range(3))
+        + tuple(tvf[:, j] for j in range(9)),
+        num_keys=2)
+    codes, order = sorted_ops[0], sorted_ops[1]
+    slo = jnp.stack(sorted_ops[2:5], axis=1)
+    shi = jnp.stack(sorted_ops[5:8], axis=1)
+    tv_s = jnp.stack(sorted_ops[8:17], axis=1).reshape(n, 3, 3)
+
+    # Boundary split-levels: delta in [0, 30], D[0] = -1 (virtual root).
+    x = codes[1:] ^ codes[:-1]
+    d = jnp.where(x == 0, jnp.int32(30), jax.lax.clz(x) - 2)
+    D = jnp.concatenate([jnp.full((1,), -1, jnp.int32), d])
+
+    # ANSV by value class: prio(i) = (D[i], i) lex, all distinct.
+    #   NSL(i) = nearest j < i with D[j] <= D[i]  (ties -> left is rootier)
+    #   NSR(i) = nearest j > i with D[j] <  D[i]
+    # packed = (pos << 5) | (D + 1): cummax/cummin by position, the delta
+    # of the argmax rides along in the low bits.
+    C = 31
+    cs = jnp.arange(C, dtype=jnp.int32)[:, None]
+    packed = (iota << 5) | (D + 1)
+    big = (jnp.int32(n) << 5) | 31
+    P = jax.lax.cummax(
+        jnp.where(D[None, :] <= cs, packed[None, :], -1), axis=1)
+    Ps = jnp.concatenate(
+        [jnp.full((C, 1), -1, jnp.int32), P[:, :-1]], axis=1)
+    Q = jax.lax.cummin(
+        jnp.where(D[None, :] < cs, packed[None, :], big), axis=1,
+        reverse=True)
+    Qs = jnp.concatenate(
+        [Q[:, 1:], jnp.full((C, 1), big, jnp.int32)], axis=1)
+    nsl = Ps[0]
+    nsr = Qs[0]
+    for c in range(1, C):
+        m = D == c
+        nsl = jnp.where(m, Ps[c], nsl)
+        nsr = jnp.where(m, Qs[c], nsr)
+    a = jax.lax.shift_right_logical(nsl, 5)   # range start row (0 if none)
+    dl = (nsl & 31) - 1
+    b = jax.lax.shift_right_logical(nsr, 5)   # range end row (n if none)
+    dr = (nsr & 31) - 1
+
+    # Parent = the deeper (larger-priority) of the two nearest-smaller
+    # neighbours; NSL == virtual row 0 always loses to a real NSR.
+    prio_l = ((dl + 1) << 25) | a
+    prio_r = ((dr + 1) << 25) | b
+    no_r = b >= n
+    root_f = (a <= 0) & no_r
+    par_left = no_r | (prio_l > prio_r)
+    parent = jnp.where(par_left, a, b)
+    side = jnp.where(par_left, jnp.int32(1), jnp.int32(0))
+    size = b - a
+    kept = (iota >= 1) & (size > max_leaf)
+
+    # Leaf runs: boundary r is interior to a leaf iff node r was pruned,
+    # so leaves start at row 0 and at every kept boundary.
+    leaf_start = kept | (iota == 0)
+    runs_incl = jnp.cumsum(leaf_start.astype(jnp.int32))
+    lcount = runs_incl[-1]
+    dst = iota + runs_incl - 1          # woop row of sorted tri r; also
+    #                                     woopoff(s) for any run start s.
+
+    left_n = iota - a
+    right_n = b - iota
+    lleaf = left_n <= max_leaf
+    rleaf = right_n <= max_leaf
+
+    # Child AABBs: sparse range-min table over sorted tri AABBs.
+    packedb = jnp.concatenate([slo, -shi], axis=1)
+    logn = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    tables = [packedb]
+    for k in range(1, logn + 1):
+        half = 1 << (k - 1)
+        prev = tables[-1]
+        tables.append(jnp.minimum(
+            prev,
+            jnp.concatenate(
+                [prev[half:], jnp.full((half, 6), np.inf, jnp.float32)])))
+    table = jnp.stack(tables)           # (logn+1, n, 6)
+    flat_tab = table.reshape(-1, 6)
+
+    def k_of(sz):
+        return jnp.minimum(31 - jax.lax.clz(jnp.maximum(sz, 1)), logn)
+
+    k0 = k_of(left_n)
+    k1 = k_of(right_n)
+    # Child0 covers [a, i): T[k0][a] is a gather; T[k0][i - 2^k0] has the
+    # own-row position shifted by a per-k CONSTANT -> a 21-way select of
+    # shifted slices instead of a 7 ns/row gather. Child1 covers [i, b):
+    # T[k1][i] is a pure row select; T[k1][b - 2^k1] is a gather.
+    r1_0 = flat_tab[k0 * n + jnp.clip(a, 0, n - 1)]
+    r2_1 = flat_tab[k1 * n + jnp.clip(b - (1 << k1), 0, n - 1)]
+    dst_a = dst[jnp.clip(a, 0, n - 1)]  # gather: left-child run offsets
+
+    enc0 = jnp.where(kept & lleaf, ~dst_a, 0)
+    enc1 = jnp.where(kept & rleaf, ~dst, 0)
+    enc = jnp.stack([enc0, enc1], axis=1)
+    # The single link scatter: kept non-root node i -> its parent's slot.
+    flat_t = jnp.where(kept & (~root_f), parent * 2 + side, 2 * n)
+    enc = enc.reshape(-1).at[flat_t].set(
+        iota, mode="drop", unique_indices=True).reshape(n, 2)
+    r2_0 = table[0]
+    r1_1 = table[0]
+    for k in range(1, logn + 1):
+        sh = 1 << k
+        shifted = jnp.concatenate(
+            [jnp.full((min(sh, n), 6), np.inf, jnp.float32),
+             table[k][:max(n - sh, 0)]])
+        r2_0 = jnp.where((k0 == k)[:, None], shifted, r2_0)
+        r1_1 = jnp.where((k1 == k)[:, None], table[k], r1_1)
+    # k == 0 shift is 2^0 = 1:
+    sh0 = jnp.concatenate(
+        [jnp.full((1, 6), np.inf, jnp.float32), table[0][:n - 1]])
+    r2_0 = jnp.where((k0 == 0)[:, None], sh0, r2_0)
+    m0 = jnp.minimum(r1_0, r2_0)
+    m1 = jnp.minimum(r1_1, r2_1)
+    lo0, hi0 = m0[:, 0:3], -m0[:, 3:6]
+    lo1, hi1 = m1[:, 0:3], -m1[:, 3:6]
+
+    kf = kept[:, None]
+    cols = [lo0[:, 0], hi0[:, 0], lo0[:, 1], hi0[:, 1],
+            lo1[:, 0], hi1[:, 0], lo1[:, 1], hi1[:, 1],
+            lo0[:, 2], hi0[:, 2], lo1[:, 2], hi1[:, 2],
+            jax.lax.bitcast_convert_type(enc[:, 0], jnp.float32),
+            jax.lax.bitcast_convert_type(enc[:, 1], jnp.float32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)]
+    nodes = jnp.where(kf, jnp.stack(cols, axis=1), 0.0)
+
+    # Woop rows + tri ids in one (n, 13) scatter; every unwritten row IS
+    # the leaf-end sentinel (lane0 bits 0x80000000, tri_index -1).
+    w = _device_woopify(tv_s)
+    wcap = 2 * n
+    sent_val = jax.lax.bitcast_convert_type(
+        jnp.int32(-0x80000000), jnp.float32)
+    neg1_f = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    init_row = jnp.zeros((13,), jnp.float32).at[0].set(
+        sent_val).at[12].set(neg1_f)
+    wout = jnp.tile(init_row[None, :], (wcap, 1))
+    payload13 = jnp.concatenate(
+        [w, jax.lax.bitcast_convert_type(order, jnp.float32)[:, None]],
+        axis=1)
+    wout = wout.at[dst].set(payload13, mode="drop", unique_indices=True)
+    woop = wout[:, :12]
+    tri_index = jax.lax.bitcast_convert_type(wout[:, 12], jnp.int32)
+
+    root = jnp.argmax(kept & root_f).astype(jnp.int32)
+    return dict(nodes=nodes, woop=woop, tri_index=tri_index, kept=kept,
+                root=root, node_count=kept.sum(), leaf_count=lcount,
+                order=order)
+
+
 def build_lbvh_flat(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatBVH:
-    """Host wrapper: device build -> trimmed host FlatBVH."""
+    """Host wrapper: fast device build -> compacted host FlatBVH."""
     tv = scene.tri_verts()
     if scene.num_tris < 2:
         from ntrace_tpu.bvh.flatten import flatten_bvh
@@ -338,26 +545,40 @@ def build_lbvh_flat(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatBVH:
     tlo = tv.min(axis=1)
     thi = tv.max(axis=1)
     lo, hi = scene.bbox()
-    out = lbvh_device(
+    out = lbvh_device_fast(
         jnp.asarray(tlo), jnp.asarray(thi), jnp.asarray(tv),
         jnp.asarray(lo), jnp.asarray(hi),
         max_leaf=cfg.max_leaf_size,
     )
-    nodes = np.asarray(out["nodes"])
-    woop = np.asarray(out["woop"])
-    tri_index = np.asarray(out["tri_index"])
     nc = int(out["node_count"])
-    lc = int(out["leaf_count"])
-    if nc == 0:  # degenerate: every centroid shares one Morton code
+    if nc == 0:  # n <= max_leaf: no internal nodes emitted
         from ntrace_tpu.bvh.flatten import flatten_bvh
         from ntrace_tpu.bvh.median import build_median_bvh
 
         return flatten_bvh(build_median_bvh(scene, cfg), scene)
-    w_used = scene.num_tris + lc
+    nodes = np.asarray(out["nodes"])
+    woop = np.asarray(out["woop"])
+    tri_index = np.asarray(out["tri_index"])
+    kept = np.asarray(out["kept"])
+    root = int(out["root"])
+    lc = int(out["leaf_count"])
+    n = scene.num_tris
+    # Compact sparse boundary-indexed nodes; root becomes node 0.
+    kidx = np.flatnonzero(kept)
+    perm = np.concatenate([[root], kidx[kidx != root]]).astype(np.int64)
+    remap = np.full(n, -1, np.int32)
+    remap[perm] = np.arange(nc, dtype=np.int32)
+    nd = np.ascontiguousarray(nodes[perm])
+    for lane in (12, 13):
+        e = np.ascontiguousarray(nd[:, lane]).view(np.int32)
+        internal = e >= 0
+        e[internal] = remap[e[internal]]
+        nd[:, lane] = e.view(np.float32)
+    w_used = n + lc
     return FlatBVH(
-        nodes=nodes[:max(nc, 1)],
+        nodes=nd,
         woop=woop[:w_used],
         tri_index=tri_index[:w_used],
-        num_tris=scene.num_tris,
+        num_tris=n,
         sah_cost=0.0,
     )

@@ -179,3 +179,31 @@ class TestWoop:
         jv, jt, ju, jvv = woop_intersect(jnp, jnp.asarray(w12), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax))
         np.testing.assert_array_equal(nv, np.asarray(jv))
         np.testing.assert_allclose(nt[nv], np.asarray(jt)[nv], rtol=1e-6)
+
+
+class TestBlockedScan:
+    """ops/scan.py blocked prefix scans vs numpy accumulate."""
+
+    def test_matches_numpy_accumulate(self):
+        import jax.numpy as jnp
+
+        from ntrace_tpu.ops.scan import cummax_blocked, cummin_blocked
+
+        rng = np.random.default_rng(0)
+        for n in (1, 5, 128, 300, 1000, 40001):
+            x = rng.integers(-10**9, 10**9, n).astype(np.int32)
+            for shape in [(n,), (3, n)]:
+                ref = np.broadcast_to(x, shape)
+                a = jnp.asarray(ref)
+                np.testing.assert_array_equal(
+                    np.asarray(cummax_blocked(a)),
+                    np.maximum.accumulate(ref, -1))
+                np.testing.assert_array_equal(
+                    np.asarray(cummin_blocked(a)),
+                    np.minimum.accumulate(ref, -1))
+                np.testing.assert_array_equal(
+                    np.asarray(cummax_blocked(a, reverse=True)),
+                    np.maximum.accumulate(ref[..., ::-1], -1)[..., ::-1])
+                np.testing.assert_array_equal(
+                    np.asarray(cummin_blocked(a, reverse=True)),
+                    np.minimum.accumulate(ref[..., ::-1], -1)[..., ::-1])
