@@ -65,7 +65,14 @@ def main():
     print(f"[bench] scene={scene.name} tris={scene.num_tris} "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)
 
-    build_cfg = BuildConfig(builder=builder, max_leaf_size=8)
+    # Engine-tuned SAH cost profile (scripts/leaf_sweep*.py): the packet
+    # kernel's leaf row tests 12 tris for one node-step's price, so fat
+    # leaves (tri_cost=0.02, max_leaf=48) halve total traversal units vs
+    # the reference Platform defaults (tri_cost=1, leaf~2).
+    tri_cost = float(os.environ.get("NTRACE_BENCH_TRICOST", 0.02))
+    max_leaf = int(os.environ.get("NTRACE_BENCH_LEAF", 48))
+    build_cfg = BuildConfig(builder=builder, sah_tri_cost=tri_cost,
+                            max_leaf_size=max_leaf)
     flat = build_accel(scene, build_cfg, use_cache=True)
     print(f"[bench] accel nodes={flat.nodes.shape[0]} sah={flat.sah_cost:.1f} "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)

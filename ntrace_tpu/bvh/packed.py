@@ -96,7 +96,10 @@ def pack_tris(flat: FlatBVH, tri_verts: np.ndarray, starts, counts,
     last_slot = first_slot + counts - 1
     leaf_rows = last_slot // tpr - first_slot // tpr + 1
     TR = -(-total // tpr)
-    TR_pad = max(8, -(-TR // 8) * 8)
+    # >= 3 spare all-zero rows past the last real one: the kernels' leaf
+    # unrolling (trace/packet_pallas.py leaf_unroll<=4) may touch up to 3
+    # rows past a run's end; zero rows have det==0 and can never hit.
+    TR_pad = max(8, -(-(TR + 3) // 8) * 8)
 
     # Gather triangle ids leaf-by-leaf (vectorized repeat/cumsum walk).
     cumc = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -208,10 +211,21 @@ def unpack_tri_slot(packed: PackedBVH, row: int, j: int):
     return lanes[0:3], lanes[3:6], lanes[6:9], int(lanes[9])
 
 
-def pick_layout(n_nodes: int, n_refs: int, budget_bytes: int = 96 << 20):
-    """(tris_per_row, nodes_per_row) preferring the fast thin-row layout
-    where both tables still fit the VMEM budget, else the dense one."""
-    for tpr, npr in ((4, 1), (4, 8), (12, 8)):
+def pick_layout(n_nodes: int, n_refs: int, budget_bytes: int = 96 << 20,
+                avg_leaf: float | None = None):
+    """(tris_per_row, nodes_per_row) by leaf fatness + VMEM budget.
+
+    Fat leaves (>= ~6 tris, the engine-tuned SAH cost profile) want 12-tri
+    rows: a 48-tri leaf is 4 rows instead of 12, and the leaf row cost is
+    load latency, not VPU work. Thin (~2-tri) SAH leaves want 4-tri rows
+    (measured in round 2's leaf sweeps, scripts/leaf_sweep*.py). npr=1
+    (no in-kernel roll) whenever the node table fits.
+    """
+    if avg_leaf is not None and avg_leaf >= 6.0:
+        prefs = ((12, 1), (12, 8), (4, 8))
+    else:
+        prefs = ((4, 1), (12, 1), (4, 8), (12, 8))
+    for tpr, npr in prefs:
         node_rows = -(-n_nodes // npr)
         tri_rows = -(-n_refs // tpr)
         if (node_rows + tri_rows) * 512 <= budget_bytes:

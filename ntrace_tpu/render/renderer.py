@@ -237,9 +237,14 @@ class Renderer:
             # same traversal; see trace/packet_*.py)
             from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
 
+            n_refs = int((self.flat.tri_index >= 0).sum())
+            enc = np.ascontiguousarray(
+                self.flat.nodes[:, 12:14]).view(np.int32)
+            n_leaves = max(int((enc < 0).sum()), 1)
+            avg_leaf = n_refs / n_leaves
             tpr, npr = pick_layout(
-                self.flat.nodes.shape[0],
-                int((self.flat.tri_index >= 0).sum()))
+                self.flat.nodes.shape[0], n_refs, avg_leaf=avg_leaf)
+            self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
             packed = pack_bvh(self.flat, scene.tri_verts(),
                               tris_per_row=tpr, nodes_per_row=npr)
             self.packed = packed
@@ -258,6 +263,7 @@ class Renderer:
                         any_hit=any_hit, rows=rows, interpret=interpret,
                         order="code", tris_per_row=packed.tris_per_row,
                         nodes_per_row=packed.nodes_per_row,
+                        leaf_unroll=self.leaf_unroll,
                     )
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif

@@ -96,7 +96,7 @@ def _slab_child(rec, base, ox, oy, oz, ix, iy, iz, tmin, tmax):
 def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                  order: str = "mins", light: bool = False, ilv: int = 1,
                  probe: str = "none", tpr: int = TRIS_PER_ROW,
-                 npr: int = NODES_PER_ROW):
+                 npr: int = NODES_PER_ROW, lu: int = 1):
     """Build the packet kernel body.
 
     ilv > 1 interleaves that many INDEPENDENT packets (each with its own
@@ -132,47 +132,57 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                 The 12 per-slot tests are independent; their results merge
                 through a BALANCED tree of (t, id) selects (depth 4) instead
                 of a 12-long sequential fold -- the fold was the serial chain
-                that made a leaf row cost ~1 us (packet_probe.py)."""
+                that made a leaf row cost ~1 us (packet_probe.py).
+
+                lu > 1 unrolls the row loop: the per-row serial cost is row
+                LOAD LATENCY, not VPU work (PERF_NOTES.md packet anatomy),
+                and consecutive rows' loads are independent, so issuing lu
+                loads per iteration hides all but the first. Stray rows past
+                the run's end are a neighbour leaf's real triangles (dense
+                packing) or all-zero pad rows -- both closest-hit-safe."""
                 def lbody(k, hs):
                     if stats:
                         ctr_ref[0] = ctr_ref[0] + 1
                     cur_t, cur_id, cur_u, cur_v = hs
-                    # Rows may straddle leaves (dense packing, bvh/packed.py);
-                    # testing a neighbour leaf's real triangles is safe: the
-                    # closest-hit update + tie-break is superset-invariant.
-                    trow = tris_ref[pl.ds(row0 + k, 1), :]
+                    # Rows may straddle leaves (bvh/packed.py); testing a
+                    # neighbour leaf's real triangles is safe: the closest-
+                    # hit update + tie-break is superset-invariant.
+                    trows = [tris_ref[pl.ds(row0 + k * lu + u_i, 1), :]
+                             for u_i in range(lu)]
                     cands = []
-                    for jj in range(tpr):
-                        b = TRI_LANES * jj
-                        v0x, v0y, v0z = trow[0, b + 0], trow[0, b + 1], trow[0, b + 2]
-                        e1x, e1y, e1z = trow[0, b + 3], trow[0, b + 4], trow[0, b + 5]
-                        e2x, e2y, e2z = trow[0, b + 6], trow[0, b + 7], trow[0, b + 8]
-                        tid = trow[0, b + 9].astype(jnp.int32)
-                        px = dy * e2z - dz * e2y
-                        py = dz * e2x - dx * e2z
-                        pz = dx * e2y - dy * e2x
-                        det = e1x * px + e1y * py + e1z * pz
-                        inv = np.float32(1.0) / jnp.where(det == 0, np.float32(1.0), det)
-                        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-                        u = (tvx * px + tvy * py + tvz * pz) * inv
-                        qx = tvy * e1z - tvz * e1y
-                        qy = tvz * e1x - tvx * e1z
-                        qz = tvx * e1y - tvy * e1x
-                        v = (dx * qx + dy * qy + dz * qz) * inv
-                        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-                        valid = (
-                            (det != 0) & (tid >= 0)
-                            & (u >= 0) & (v >= 0) & (u + v <= 1)
-                            & (t > tn)
-                        )
-                        # Invalid slots become (t=INF, id=INT_MAX): never
-                        # accepted -- acceptance below needs strict t < cur_t
-                        # or a tie won on a SMALLER id.
-                        cands.append((
-                            jnp.where(valid, t, INF),
-                            jnp.where(valid, tid, jnp.int32(0x7FFFFFFF)),
-                            u, v,
-                        ))
+                    for u_i in range(lu):
+                        trow = trows[u_i]
+                        for jj in range(tpr):
+                            b = TRI_LANES * jj
+                            v0x, v0y, v0z = trow[0, b + 0], trow[0, b + 1], trow[0, b + 2]
+                            e1x, e1y, e1z = trow[0, b + 3], trow[0, b + 4], trow[0, b + 5]
+                            e2x, e2y, e2z = trow[0, b + 6], trow[0, b + 7], trow[0, b + 8]
+                            tid = trow[0, b + 9].astype(jnp.int32)
+                            px = dy * e2z - dz * e2y
+                            py = dz * e2x - dx * e2z
+                            pz = dx * e2y - dy * e2x
+                            det = e1x * px + e1y * py + e1z * pz
+                            inv = np.float32(1.0) / jnp.where(det == 0, np.float32(1.0), det)
+                            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                            u = (tvx * px + tvy * py + tvz * pz) * inv
+                            qx = tvy * e1z - tvz * e1y
+                            qy = tvz * e1x - tvx * e1z
+                            qz = tvx * e1y - tvy * e1x
+                            v = (dx * qx + dy * qy + dz * qz) * inv
+                            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                            valid = (
+                                (det != 0) & (tid >= 0)
+                                & (u >= 0) & (v >= 0) & (u + v <= 1)
+                                & (t > tn)
+                            )
+                            # Invalid slots become (t=INF, id=INT_MAX): never
+                            # accepted -- acceptance below needs strict t < cur_t
+                            # or a tie won on a SMALLER id.
+                            cands.append((
+                                jnp.where(valid, t, INF),
+                                jnp.where(valid, tid, jnp.int32(0x7FFFFFFF)),
+                                u, v,
+                            ))
                     while len(cands) > 1:
                         nxt = []
                         for a, bnd in zip(cands[0::2], cands[1::2]):
@@ -196,7 +206,8 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                         cur_v = jnp.where(acc, cands[0][3], cur_v)
                     return cur_t, cur_id, cur_u, cur_v
 
-                return jax.lax.fori_loop(0, nrows, lbody, hs)
+                n_it = nrows if lu == 1 else (nrows + (lu - 1)) // lu
+                return jax.lax.fori_loop(0, n_it, lbody, hs)
 
             return leaf_rows
 
@@ -272,7 +283,8 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                         if stats:
                             ctr_ref[0] = ctr_ref[0] + 1
                         return hs
-                    return jax.lax.fori_loop(0, nrows, lbody, hs)
+                    n_it = nrows if lu == 1 else (nrows + (lu - 1)) // lu
+                return jax.lax.fori_loop(0, n_it, lbody, hs)
                 hs = jax.lax.cond(
                     any0 & leaf0,
                     lambda hs: empty(-enc0 - 1, rec[0, 14].astype(jnp.int32), hs),
@@ -349,7 +361,7 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit", "stats",
                      "order", "light", "interleave", "probe",
-                     "tris_per_row", "nodes_per_row"),
+                     "tris_per_row", "nodes_per_row", "leaf_unroll"),
 )
 def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  any_hit: bool = False, rows: int = 8,
@@ -357,7 +369,7 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  stats: bool = False, order: str = "mins",
                  light: bool = False, interleave: int = 1,
                  probe: str = "none", tris_per_row: int = TRIS_PER_ROW,
-                 nodes_per_row: int = NODES_PER_ROW):
+                 nodes_per_row: int = NODES_PER_ROW, leaf_unroll: int = 1):
     """Trace rays through a PackedBVH with the packet kernel.
 
     nodes8/tris12: device arrays of bvh/packed.py layout.
@@ -367,6 +379,10 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
     """
     if stats and interleave != 1:
         raise ValueError("stats mode is single-packet only")
+    if stats and leaf_unroll != 1:
+        raise ValueError("stats mode counts rows, not unrolled groups")
+    if leaf_unroll not in (1, 2, 4):
+        raise ValueError("leaf_unroll in {1, 2, 4} (pack spare-row bound)")
     R = orig.shape[0]
     packet = rows * 128 * interleave
     pad = (-R) % packet
@@ -421,7 +437,7 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
         )
     outs = pl.pallas_call(
         _make_kernel(rows, any_hit, stats, order, light, ilv, probe,
-                     tris_per_row, nodes_per_row),
+                     tris_per_row, nodes_per_row, leaf_unroll),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=out_specs,

@@ -23,8 +23,14 @@ rows = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 W, H = 1024, 768
 
 scene = get_scene(scene_name)
-flat = build_accel(scene, BuildConfig(builder="binned_sah"), use_cache=True)
-packed = pack_bvh(flat, scene.tri_verts())
+tri_cost = float(os.environ.get("TRI_COST", "1.0"))
+max_leaf = int(os.environ.get("MAX_LEAF", "8"))
+tpr = int(os.environ.get("TPR", "12"))
+npr = int(os.environ.get("NPR", "8"))
+flat = build_accel(scene, BuildConfig(builder="binned_sah",
+                                      sah_tri_cost=tri_cost,
+                                      max_leaf_size=max_leaf), use_cache=True)
+packed = pack_bvh(flat, scene.tri_verts(), tris_per_row=tpr, nodes_per_row=npr)
 cam = default_camera(scene.name)
 order, _ = pixel_table(W, H)
 batch = raygen.primary(raygen.camera_arrays(cam, W, H), W, H, jnp.asarray(order))
@@ -33,7 +39,8 @@ nodes_dev = jax.device_put(jnp.asarray(packed.nodes8))
 tris_dev = jax.device_put(jnp.asarray(packed.tris12))
 tri, t, u, v, st = trace_packet(
     nodes_dev, tris_dev, batch.orig, batch.dirn, batch.tmin, batch.tmax,
-    rows=rows, stats=True,
+    rows=rows, stats=True, tris_per_row=packed.tris_per_row,
+    nodes_per_row=packed.nodes_per_row,
 )
 st = np.asarray(st)
 steps, leafrows = st[:, 0], st[:, 1]
@@ -50,7 +57,9 @@ print(f"total: {steps.sum()} steps + {leafrows.sum()} leaf rows; "
 # Time the non-stats kernel for the derived per-unit cost.
 @jax.jit
 def run(o, d, tn, tx):
-    tri, t, u, v = trace_packet(nodes_dev, tris_dev, o, d, tn, tx, rows=rows)
+    tri, t, u, v = trace_packet(nodes_dev, tris_dev, o, d, tn, tx, rows=rows,
+                                tris_per_row=packed.tris_per_row,
+                                nodes_per_row=packed.nodes_per_row)
     return tri.sum(), t.sum()
 
 args = (batch.orig, batch.dirn, batch.tmin, batch.tmax)
