@@ -77,7 +77,7 @@ def _decode_leaf_runs(flat: FlatBVH):
 
 
 def pack_tris(flat: FlatBVH, tri_verts: np.ndarray, starts, counts,
-              tris_per_row: int):
+              tris_per_row: int, tri_id_map: np.ndarray | None = None):
     """Lane-pack the leaf triangle runs (shared by pack_bvh and the 8-wide
     packer).
 
@@ -106,6 +106,7 @@ def pack_tris(flat: FlatBVH, tri_verts: np.ndarray, starts, counts,
     within = np.arange(total, dtype=np.int64) - np.repeat(cumc, counts)
     src_rows = np.repeat(starts, counts) + within
     ids = flat.tri_index[src_rows].astype(np.int64)
+    out_ids = ids if tri_id_map is None else tri_id_map[ids]
     slot = np.arange(total, dtype=np.int64)
 
     tris = np.zeros((TR_pad * tpr, TRI_LANES), dtype=np.float32)
@@ -114,7 +115,9 @@ def pack_tris(flat: FlatBVH, tri_verts: np.ndarray, starts, counts,
     tris[slot, 0:3] = v0
     tris[slot, 3:6] = tri_verts[ids, 1] - v0
     tris[slot, 6:9] = tri_verts[ids, 2] - v0
-    tris[slot, 9] = ids.astype(np.float32)
+    # The id lane may carry GLOBAL ids (forest chunks) while geometry
+    # still indexes the local tri_verts.
+    tris[slot, 9] = out_ids.astype(np.float32)
     tris12 = np.zeros((TR_pad, 128), dtype=np.float32)
     tris12[:, : tpr * TRI_LANES] = tris.reshape(TR_pad, -1)
     return tris12, first_slot, leaf_rows, total
@@ -122,7 +125,8 @@ def pack_tris(flat: FlatBVH, tri_verts: np.ndarray, starts, counts,
 
 def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, *,
              tris_per_row: int = TRIS_PER_ROW,
-             nodes_per_row: int = NODES_PER_ROW) -> PackedBVH:
+             nodes_per_row: int = NODES_PER_ROW,
+             tri_id_map: np.ndarray | None = None) -> PackedBVH:
     """Re-lay a FlatBVH into the packet kernel's lane-packed tables.
 
     tri_verts : (num_scene_tris, 3, 3) float32 original vertices (the woop
@@ -138,7 +142,7 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, *,
     NODES_PER_ROW = nodes_per_row
     starts, counts, children = _decode_leaf_runs(flat)
     tris12, first_slot, leaf_rows, total = pack_tris(
-        flat, tri_verts, starts, counts, tris_per_row)
+        flat, tri_verts, starts, counts, tris_per_row, tri_id_map)
 
     # Node records: remap leaf children (~woopRow) -> -(firstSlot + 1), and
     # the spanned-row count. Internal-internal nodes carry a traversal

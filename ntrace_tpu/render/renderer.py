@@ -45,6 +45,11 @@ class RenderResult:
     stats: dict = field(default_factory=dict)
 
 
+# Packed-table VMEM budget for the single-chunk packet engine; tests
+# shrink this to force the forest path on tiny scenes.
+VMEM_BUDGET = 96 << 20
+
+
 def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
                 use_cache: bool = False) -> FlatBVH:
     """Builder dispatch (median now; lbvh/hlbvh/sbvh land in later commits)."""
@@ -139,18 +144,14 @@ class Renderer:
             self.flat = flat if flat is not None else build_accel(scene, build_cfg)
         engine = cfg.engine
         if engine in ("auto", "wavefront"):
-            # The Pallas packet engine is the fast path wherever its packed
-            # tables fit in VMEM (the whole design premise); elsewhere fall
-            # back to the XLA persistent tracer. Off-TPU the packet kernel
-            # only runs interpreted (test-speed), so auto avoids it there.
+            # The Pallas packet engine is the fast path everywhere on TPU:
+            # single-chunk when the packed tables fit VMEM, Morton-chunked
+            # forest (bvh/forest.py) when they don't. Off-TPU the packet
+            # kernel only runs interpreted (test-speed), so auto avoids it.
             engine = "stack2"
             if jax.default_backend() in ("tpu", "axon") and hasattr(
                     self.flat, "tri_index"):
-                n_nodes = self.flat.nodes.shape[0]
-                n_refs = int((self.flat.tri_index >= 0).sum())
-                est_bytes = (-(-n_nodes // 8) + -(-n_refs // 12)) * 512
-                if est_bytes <= (96 << 20):
-                    engine = "packet"
+                engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
                          "packet_wide", "cpu_golden")
@@ -237,24 +238,35 @@ class Renderer:
             # same traversal; see trace/packet_*.py)
             from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
 
-            n_refs = int((self.flat.tri_index >= 0).sum())
-            enc = np.ascontiguousarray(
-                self.flat.nodes[:, 12:14]).view(np.int32)
-            n_leaves = max(int((enc < 0).sum()), 1)
-            avg_leaf = n_refs / n_leaves
-            tpr, npr = pick_layout(
-                self.flat.nodes.shape[0], n_refs, avg_leaf=avg_leaf)
-            self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
-            packed = pack_bvh(self.flat, scene.tri_verts(),
-                              tris_per_row=tpr, nodes_per_row=npr)
-            self.packed = packed
-            self.packed_nodes = jax.device_put(jnp.asarray(packed.nodes8))
-            self.packed_tris = jax.device_put(jnp.asarray(packed.tris12))
+            def _layout_of(flat):
+                n_refs = int((flat.tri_index >= 0).sum())
+                enc = np.ascontiguousarray(
+                    flat.nodes[:, 12:14]).view(np.int32)
+                n_leaves = max(int((enc < 0).sum()), 1)
+                avg_leaf = n_refs / n_leaves
+                tpr, npr = pick_layout(
+                    flat.nodes.shape[0], n_refs, avg_leaf=avg_leaf)
+                return n_refs, avg_leaf, tpr, npr
+
+            n_refs, avg_leaf, tpr, npr = _layout_of(self.flat)
+            est_bytes = (-(-self.flat.nodes.shape[0] // npr)
+                         + -(-n_refs // tpr)) * 512
+            forest = engine == "packet" and est_bytes > VMEM_BUDGET
+            if not forest:
+                self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
+                packed = pack_bvh(self.flat, scene.tri_verts(),
+                                  tris_per_row=tpr, nodes_per_row=npr)
+                self.packed = packed
+                self.packed_nodes = jax.device_put(jnp.asarray(packed.nodes8))
+                self.packed_tris = jax.device_put(jnp.asarray(packed.tris12))
             rows = cfg.packet_rows
             # No Mosaic backend off-TPU: tests run the interpreter.
             interpret = jax.default_backend() not in ("tpu", "axon")
 
-            if engine == "packet":
+            if forest:
+                _tracer = self._make_forest_tracer(
+                    scene, _layout_of, rows, interpret)
+            elif engine == "packet":
                 from ntrace_tpu.trace.packet_pallas import trace_packet
 
                 def _tracer(o, d, tn, tx, any_hit):
@@ -332,6 +344,66 @@ class Renderer:
         self.scene_hi = jnp.asarray(hi)
         self.scene_scale = float(np.linalg.norm(hi - lo))
         self.eps = jnp.float32(self.scene_scale * 1e-4)
+
+    def _make_forest_tracer(self, scene, layout_of, rows, interpret):
+        """Large-scene packet path: Morton-chunked BVH forest.
+
+        The packed tables exceed the ~96 MB VMEM budget, so triangles are
+        split into Morton-contiguous chunks, each with its own accel +
+        packed tables (HBM-resident; VMEM holds one chunk per pallas
+        dispatch). Chunks trace sequentially inside the caller's jit with
+        per-ray hit state threaded between passes (bvh/forest.py).
+        """
+        import sys
+
+        from ntrace_tpu.bvh.forest import morton_partition, sub_scene
+        from ntrace_tpu.bvh.packed import pack_bvh
+        from ntrace_tpu.trace.packet_pallas import trace_packet
+
+        chunks = morton_partition(scene, max_refs=max(VMEM_BUDGET // 64, 1))
+        self.forest = []
+        for ci, ids in enumerate(chunks):
+            sub = sub_scene(scene, ids, ci)
+            with self.timer.stage("build"):
+                fl = build_accel(sub, self.build_cfg, use_cache=True)
+            _, avg_leaf, tpr, npr = layout_of(fl)
+            pk = pack_bvh(fl, sub.tri_verts(), tris_per_row=tpr,
+                          nodes_per_row=npr, tri_id_map=ids.astype(np.int64))
+            self.forest.append(dict(
+                nodes=jax.device_put(jnp.asarray(pk.nodes8)),
+                tris=jax.device_put(jnp.asarray(pk.tris12)),
+                tpr=pk.tris_per_row, npr=pk.nodes_per_row,
+                lu=4 if avg_leaf >= 6.0 else 1,
+            ))
+        print(f"[renderer] packet forest: {len(self.forest)} chunks, "
+              f"{sum(c['nodes'].nbytes + c['tris'].nbytes for c in self.forest)/1e6:.0f}"
+              f" MB total", file=sys.stderr)
+
+        def _tracer(o, d, tn, tx, any_hit):
+            best = None
+            cur_tx = tx
+            for c in self.forest:
+                tri_k, t_k, u_k, v_k = trace_packet(
+                    c["nodes"], c["tris"], o, d, tn, cur_tx,
+                    any_hit=any_hit, rows=rows, interpret=interpret,
+                    order="code", tris_per_row=c["tpr"],
+                    nodes_per_row=c["npr"], leaf_unroll=c["lu"])
+                got = tri_k >= 0
+                if best is None:
+                    best = [tri_k, t_k, u_k, v_k]
+                else:
+                    # Chunk k ran with tmax = best-so-far t, so any hit it
+                    # reports is strictly closer (or the ray was dead).
+                    for i, val in enumerate((tri_k, t_k, u_k, v_k)):
+                        best[i] = jnp.where(got, val, best[i])
+                found = best[0] >= 0
+                if any_hit:
+                    cur_tx = jnp.where(found, tn, tx)   # kill finished rays
+                else:
+                    cur_tx = jnp.where(found, best[1], tx)
+            return tuple(best)
+
+        return _tracer
 
     def _cap(self):
         """Per-dispatch ray cap: the persistent stack2 tracer chunks

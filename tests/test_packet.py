@@ -169,3 +169,39 @@ def test_packet_dead_rays_stay_dead(soup_small, rng):
         any_hit=True, interpret=True,
     )
     assert (np.asarray(tri) == -1).all()
+
+
+def test_forest_path_matches_single_chunk(soup_small, monkeypatch):
+    """Morton-chunked forest (large-scene path) == single-chunk results.
+
+    Shrinking the VMEM budget forces the Renderer onto bvh/forest.py with
+    several chunks even for a small soup; closest-hit and any-hit results
+    must match the single-chunk packet engine exactly.
+    """
+    import jax.numpy as jnp
+
+    from ntrace_tpu.core import RenderConfig
+    from ntrace_tpu.render import renderer as rmod
+    from ntrace_tpu.render.renderer import Renderer
+
+    cfg = BuildConfig(builder="binned_sah", sah_tri_cost=0.1,
+                      max_leaf_size=16)
+    rng = np.random.default_rng(11)
+    o, d, tn, tx = random_rays(rng, 512)
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(tn), jnp.asarray(tx))
+
+    single = Renderer(soup_small, cfg, RenderConfig(engine="packet"))
+    assert not hasattr(single, "forest")
+    ref = [np.asarray(x) for x in single._tracer(*args, False)]
+    ref_any = [np.asarray(x) for x in single._tracer(*args, True)]
+
+    monkeypatch.setattr(rmod, "VMEM_BUDGET", 1 << 12)  # force chunking
+    fr = Renderer(soup_small, cfg, RenderConfig(engine="packet"))
+    assert len(fr.forest) >= 2
+    got = [np.asarray(x) for x in fr._tracer(*args, False)]
+    got_any = [np.asarray(x) for x in fr._tracer(*args, True)]
+
+    for i, name in enumerate(("tri", "t", "u", "v")):
+        np.testing.assert_array_equal(ref[i], got[i], err_msg=name)
+    # any-hit: agreement on hit/no-hit (the accepted tri may differ).
+    np.testing.assert_array_equal(ref_any[0] >= 0, got_any[0] >= 0)
