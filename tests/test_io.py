@@ -125,3 +125,104 @@ class TestImageIO:
         img = np.ones((8, 8, 3), np.float32) * 0.5
         assert checksum(img) == checksum(img.copy())
         assert checksum(img) != checksum(img * 0.9)
+
+
+class TestImageFormats:
+    """BMP/TGA/TIFF/PNG round trips (~ io/Image*IO codecs)."""
+
+    def test_roundtrip_all_formats(self, tmp_path):
+        from ntrace_tpu.io.image import FORMATS, read_image, write_image
+
+        rng = np.random.default_rng(3)
+        img8 = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+        for ext in FORMATS:
+            p = tmp_path / f"rt{ext}"
+            write_image(str(p), img8)
+            back = read_image(str(p))
+            np.testing.assert_array_equal(back, img8, err_msg=ext)
+
+    def test_float_input_tonemapped(self, tmp_path):
+        from ntrace_tpu.io.image import read_image, tonemap, write_image
+
+        img = np.random.default_rng(4).random((8, 8, 3)).astype(np.float32)
+        p = tmp_path / "f.bmp"
+        write_image(str(p), img)
+        np.testing.assert_array_equal(read_image(str(p)), tonemap(img))
+
+    def test_unknown_format_rejected(self, tmp_path):
+        from ntrace_tpu.io.image import write_image
+
+        with pytest.raises(ValueError):
+            write_image(str(tmp_path / "x.jpg"),
+                        np.zeros((4, 4, 3), np.uint8))
+
+
+class TestNativeTextureFallback:
+    def test_textured_obj_takes_python_parser(self, tmp_path, monkeypatch):
+        """Native fast path must NOT silently drop vt records: a textured
+        MTL forces the Python parser so Scene.uvs survives."""
+        from ntrace_tpu.io import obj as objmod
+
+        tex = tmp_path / "t.png"
+        from ntrace_tpu.io.image import write_image
+        write_image(str(tex), np.zeros((2, 2, 3), np.uint8))
+        (tmp_path / "m.mtl").write_text(
+            "newmtl painted\nKd 1 0 0\nmap_Kd t.png\n")
+        lines = ["mtllib m.mtl", "usemtl painted"]
+        for v in [(0, 0, 0), (1, 0, 0), (0, 1, 0)]:
+            lines.append(f"v {v[0]} {v[1]} {v[2]}")
+        lines += ["vt 0 0", "vt 1 0", "vt 0 1", "f 1/1 2/2 3/3"]
+        p = tmp_path / "tex.obj"
+        p.write_text("\n".join(lines) + "\n")
+        monkeypatch.setattr(objmod, "NATIVE_THRESHOLD_BYTES", 0)
+        scene = load_obj(p, prefer_native=True)
+        assert scene.uvs is not None and scene.uvs.shape == (1, 3, 2)
+        assert scene.materials[scene.mat_ids[0]].texture.endswith("t.png")
+
+
+class TestOOMRetry:
+    def test_trace_batched_halves_cap_on_resource_exhausted(self):
+        """SURVEY SS6.3: the harness retries device OOM with halved caps."""
+        import jax.numpy as jnp
+
+        from ntrace_tpu.ray.raybatch import RayBatch
+        from ntrace_tpu.render.renderer import _trace_batched
+
+        n = 64 * 1024
+        batch = RayBatch(
+            orig=jnp.zeros((n, 3)), dirn=jnp.ones((n, 3)),
+            tmin=jnp.zeros((n,)), tmax=jnp.ones((n,)),
+            slot_to_id=jnp.arange(n),
+        )
+        calls = []
+
+        def tracer(o, d, tn, tx, any_hit):
+            calls.append(o.shape[0])
+            if o.shape[0] > 16 * 1024:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake OOM")
+            r = o.shape[0]
+            return (jnp.full((r,), -1, jnp.int32), jnp.zeros((r,)),
+                    jnp.zeros((r,)), jnp.zeros((r,)))
+
+        out = _trace_batched(tracer, batch, cap=n, any_hit=False)
+        assert out[0].shape[0] == n
+        assert max(calls[-4:]) <= 16 * 1024  # retried at a reduced cap
+        assert any(c > 16 * 1024 for c in calls)  # the OOM actually fired
+
+    def test_non_oom_errors_propagate(self):
+        import jax.numpy as jnp
+
+        from ntrace_tpu.ray.raybatch import RayBatch
+        from ntrace_tpu.render.renderer import _trace_batched
+
+        batch = RayBatch(
+            orig=jnp.zeros((8, 3)), dirn=jnp.ones((8, 3)),
+            tmin=jnp.zeros((8,)), tmax=jnp.ones((8,)),
+            slot_to_id=jnp.arange(8),
+        )
+
+        def tracer(o, d, tn, tx, any_hit):
+            raise RuntimeError("some other failure")
+
+        with pytest.raises(RuntimeError, match="other failure"):
+            _trace_batched(tracer, batch, cap=8, any_hit=False)
