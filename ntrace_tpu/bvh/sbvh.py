@@ -15,9 +15,9 @@ upstream code unverifiable -- SURVEY.md SS0):
   - spatial-split bin bounds and post-split child bounds clip the
     reference AABB to the slab/halfspace instead of re-clipping the
     triangle polygon (slightly looser fragments);
-  - reference unsplitting is not yet implemented (duplication is bounded
-    in practice by the alpha gate).
-All three are host-side quality heuristics; the emitted HostBVH flattens
+  - reference unsplitting IS implemented (greedy per-straddler choice vs
+    the all-split baseline, Stich 2009 SS4.4; cfg.sbvh_unsplit).
+The deviations are host-side quality heuristics; the emitted HostBVH flattens
 to the standard layout and is validated against brute force like every
 other builder.
 """
@@ -59,6 +59,7 @@ class _Builder:
         self.min_overlap = cfg.sbvh_alpha * _area(root_lo, root_hi)
         self.spatial = cfg.builder == "sbvh"
 
+        self.unsplit_count = 0
         self.child_rows: list[list[int]] = []
         self.child_lo: list[np.ndarray] = []
         self.child_hi: list[np.ndarray] = []
@@ -220,7 +221,11 @@ class _Builder:
 
     def _apply_spatial(self, idx, axis, plane):
         """Partition refs at `plane`; straddlers are DUPLICATED with their
-        boxes clipped to each side (the defining SBVH move)."""
+        boxes clipped to each side (the defining SBVH move), except where
+        reference UNSPLITTING (Stich 2009 SS4.4) is cheaper: per straddler,
+        compare the SAH of splitting it against moving the WHOLE box into
+        one child (growing that child's bounds but shrinking the other's
+        count), greedily against the all-split baseline."""
         lo = self.ref_lo[idx]
         hi = self.ref_hi[idx]
         left_only = hi[:, axis] <= plane
@@ -230,6 +235,40 @@ class _Builder:
         left_idx = idx[left_only]
         right_idx = idx[right_only]
         sidx = idx[straddle]
+        if len(sidx) and self.cfg.sbvh_unsplit:
+            slo = self.ref_lo[sidx]
+            shi = self.ref_hi[sidx]
+            # Baseline: every straddler split; child bounds include the
+            # clipped fragments.
+            lfrag_hi = shi.copy()
+            lfrag_hi[:, axis] = np.minimum(lfrag_hi[:, axis], plane)
+            rfrag_lo = slo.copy()
+            rfrag_lo[:, axis] = np.maximum(rfrag_lo[:, axis], plane)
+            bl_lo = np.minimum(lo[left_only].min(0, initial=np.inf),
+                               slo.min(0))
+            bl_hi = np.maximum(hi[left_only].max(0, initial=-np.inf),
+                               lfrag_hi.max(0))
+            br_lo = np.minimum(lo[right_only].min(0, initial=np.inf),
+                               rfrag_lo.min(0))
+            br_hi = np.maximum(hi[right_only].max(0, initial=-np.inf),
+                               shi.max(0))
+            nl = left_only.sum() + len(sidx)
+            nr = right_only.sum() + len(sidx)
+            sa_l = _area(bl_lo, bl_hi)
+            sa_r = _area(br_lo, br_hi)
+            c_split = sa_l * nl + sa_r * nr
+            # Whole-box unions per straddler.
+            sa_l_grow = _area(np.minimum(bl_lo, slo), np.maximum(bl_hi, shi))
+            sa_r_grow = _area(np.minimum(br_lo, slo), np.maximum(br_hi, shi))
+            c_left = sa_l_grow * nl + sa_r * (nr - 1)
+            c_right = sa_l * (nl - 1) + sa_r_grow * nr
+            go_left = (c_left < c_split) & (c_left <= c_right)
+            go_right = (c_right < c_split) & (c_right < c_left)
+            keep = ~(go_left | go_right)
+            left_idx = np.concatenate([left_idx, sidx[go_left]])
+            right_idx = np.concatenate([right_idx, sidx[go_right]])
+            sidx = sidx[keep]
+            self.unsplit_count += int((~keep).sum())
         if len(sidx):
             # Left fragments: clip existing refs in place.
             lfrag_lo = self.ref_lo[sidx]
@@ -301,6 +340,10 @@ def build_sbvh(scene: Scene, cfg: BuildConfig = BuildConfig(builder="sbvh")) -> 
         return build_median_bvh(scene, cfg)
     b = _Builder(scene, cfg)
     root = b.build(np.arange(scene.num_tris, dtype=np.int64), 0)
+    if cfg.builder == "sbvh":
+        dup = len(b.ref_tri) / max(scene.num_tris, 1)
+        print(f"[sbvh] refs={len(b.ref_tri)} dup_ratio={dup:.3f} "
+              f"unsplit={b.unsplit_count}", file=sys.stderr)
     if root < 0:  # whole scene became one leaf: force a trivial split
         from ntrace_tpu.bvh.median import build_median_bvh
 

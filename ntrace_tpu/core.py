@@ -209,6 +209,7 @@ class BuildConfig:
     max_leaf_size: int = 8
     max_depth: int = 64
     sbvh_alpha: float = 1.0e-5
+    sbvh_unsplit: bool = True  # Stich 2009 reference unsplitting
     num_spatial_bins: int = 128
     num_object_bins: int = 32
     morton_bits: int = 30  # 10 per axis, as in the reference HLBVH path

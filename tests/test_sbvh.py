@@ -81,3 +81,27 @@ class TestQuality:
         sbvh = build_sbvh(scene, BuildConfig(builder="sbvh")).sah_cost()
         plain = build_sbvh(scene, BuildConfig(builder="binned_sah")).sah_cost()
         assert sbvh <= plain * 1.05, f"sbvh={sbvh:.1f} plain={plain:.1f}"
+
+
+def test_unsplitting_reduces_duplication(soup_medium):
+    """Stich 2009 reference unsplitting: never MORE refs, same hits."""
+    from ntrace_tpu.bvh.flatten import flatten_bvh
+    from ntrace_tpu.bvh.golden import brute_force_mt
+    from ntrace_tpu.trace.cpu import trace_cpu_golden
+    from conftest import random_rays
+
+    cfg_on = BuildConfig(builder="sbvh", sbvh_alpha=1e-2)
+    cfg_off = BuildConfig(builder="sbvh", sbvh_alpha=1e-2,
+                          sbvh_unsplit=False)
+    b_on = build_sbvh(soup_medium, cfg_on)
+    b_off = build_sbvh(soup_medium, cfg_off)
+    refs_on = len(b_on.tri_order)
+    refs_off = len(b_off.tri_order)
+    assert refs_on <= refs_off
+
+    flat = flatten_bvh(b_on, soup_medium)
+    rng = np.random.default_rng(5)
+    o, d, tn, tx = random_rays(rng, 256)
+    rec = trace_cpu_golden(flat, o, d, tn, tx)
+    ref = brute_force_mt(soup_medium, o, d, tn, tx)
+    np.testing.assert_array_equal(rec.tri, ref.tri)
