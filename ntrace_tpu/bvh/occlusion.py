@@ -22,8 +22,15 @@ from ntrace_tpu.bvh.sbvh import _Builder
 from ntrace_tpu.core import BuildConfig, Camera, Scene
 
 
-def occlusion_weights(scene: Scene, camera: Camera) -> np.ndarray:
-    """(M,) float32 expected-visibility weight per triangle."""
+def occlusion_weights(scene: Scene, camera: Camera,
+                      aspect: float | None = None) -> np.ndarray:
+    """(M,) float32 expected-visibility weight per triangle.
+
+    With `aspect` given, triangles whose AABB misses the camera's view
+    frustum (ops/polyhedron.py ConvexPolyhedron -- the reference's
+    frustum-clip component) are down-weighted 10x: outside-view geometry
+    still matters for shadow rays but should not win quality subtrees.
+    """
     tv = scene.tri_verts()
     cent = tv.mean(axis=1)
     n = scene.geometric_normals()
@@ -34,6 +41,17 @@ def occlusion_weights(scene: Scene, camera: Camera) -> np.ndarray:
     nn = n / np.maximum(area2, 1e-30)[:, None]
     facing = np.abs(np.einsum("ij,ij->i", nn, to_cam)) / np.sqrt(d2)
     w = (area2 / d2) * (0.1 + 0.9 * facing)
+    if aspect is not None:
+        from ntrace_tpu.ops.polyhedron import ConvexPolyhedron
+
+        fr = ConvexPolyhedron.camera_frustum(camera, aspect)
+        # Plane-vs-box part of the SAT test, vectorized over all tris.
+        c = cent.astype(np.float64)
+        e = (tv.max(axis=1) - tv.min(axis=1)).astype(np.float64) * 0.5
+        dist = c @ fr.normals.T - fr.offsets[None, :]
+        radius = np.abs(e @ np.abs(fr.normals).T)
+        outside = (dist > radius).any(axis=1)
+        w = np.where(outside, w * 0.1, w)
     # Normalize so SAH leaf/split comparisons keep their usual scale.
     return (w * (len(w) / max(w.sum(), 1e-30))).astype(np.float32)
 

@@ -72,3 +72,17 @@ class TestVideo:
         cams = lerp_path(a, b, 3)
         np.testing.assert_allclose(cams[1].position, [1, 0, 0])
         assert abs(cams[1].fov_deg - 60) < 1e-5
+
+
+def test_occlusion_frustum_downweights_out_of_view():
+    from ntrace_tpu.bvh.occlusion import occlusion_weights
+    from ntrace_tpu.core import Camera
+    from ntrace_tpu.scenes import make_random_soup
+
+    scene = make_random_soup(n_tris=500, seed=7)
+    cam = Camera(position=[0, 0, 40], forward=[0, 0, -1], fov_deg=30.0)
+    w_plain = occlusion_weights(scene, cam)
+    w_frust = occlusion_weights(scene, cam, aspect=1.0)
+    assert w_plain.shape == w_frust.shape == (500,)
+    # A narrow frustum over a centered soup must cut some weights.
+    assert (w_frust > 0).all() and not np.allclose(w_plain, w_frust)

@@ -207,3 +207,42 @@ class TestBlockedScan:
                 np.testing.assert_array_equal(
                     np.asarray(cummin_blocked(a, reverse=True)),
                     np.minimum.accumulate(ref[..., ::-1], -1)[..., ::-1])
+
+
+class TestConvexPolyhedron:
+    """~ framework/3d/ConvexPolyhedron.* clip ops."""
+
+    def test_aabb_roundtrip(self):
+        from ntrace_tpu.ops.polyhedron import ConvexPolyhedron
+
+        p = ConvexPolyhedron.from_aabb([0, 0, 0], [2, 3, 4])
+        lo, hi = p.bbox()
+        np.testing.assert_allclose(lo, [0, 0, 0], atol=1e-9)
+        np.testing.assert_allclose(hi, [2, 3, 4], atol=1e-9)
+        assert p.contains(np.array([[1, 1, 1]]))[0]
+        assert not p.contains(np.array([[3, 1, 1]]))[0]
+
+    def test_clip_halves_box(self):
+        from ntrace_tpu.ops.polyhedron import ConvexPolyhedron
+
+        p = ConvexPolyhedron.from_aabb([0, 0, 0], [2, 2, 2])
+        q = p.clip([1, 0, 0], 1.0)  # keep x <= 1
+        lo, hi = q.bbox()
+        np.testing.assert_allclose(hi[0], 1.0, atol=1e-9)
+        r = q.clip([1, 0, 0], -1.0)  # x <= -1: empty
+        assert r.is_empty()
+
+    def test_camera_frustum(self):
+        from ntrace_tpu.core import Camera
+        from ntrace_tpu.ops.polyhedron import ConvexPolyhedron
+
+        cam = Camera(position=[0, 0, 0], forward=[0, 0, -1], fov_deg=90.0,
+                     znear=0.1, zfar=100.0)
+        fr = ConvexPolyhedron.camera_frustum(cam, aspect=1.0)
+        assert fr.contains(np.array([[0, 0, -10]]))[0]       # straight ahead
+        assert not fr.contains(np.array([[0, 0, 10]]))[0]    # behind
+        assert not fr.contains(np.array([[50, 0, -10]]))[0]  # off to the side
+        assert fr.contains(np.array([[9, 9, -10.1]]))[0]     # inside corner
+        # AABB tests: visible box intersects, behind-camera box does not.
+        assert fr.intersects_aabb([-1, -1, -5], [1, 1, -4])
+        assert not fr.intersects_aabb([-1, -1, 4], [1, 1, 5])
