@@ -51,19 +51,43 @@ def _direction_octant(ns, dirn):
 
 
 def morton_sort_key(ns, orig, dirn, scene_lo, scene_hi):
-    """Coherence sort key: origin Morton code with its low 3 bits replaced
-    by the direction octant -- fits int32 (no x64 dependency), matching the
-    reference's (origin, direction) two-level coherence idea without its
-    exact bit budget (unverifiable, empty mount).
+    """Coherence sort key: DIRECTION-major, then origin Morton.
+
+    The shared-stack packet engine's per-step cost is the union of nodes a
+    packet's rays want; for incoherent (bounce/AO) rays the dominant
+    coherence axis is DIRECTION, not origin -- the packet's near-child
+    ordering and frustum of travel assume one heading. Measured on fairy
+    diffuse bounces (scripts/sortkey_sweep.py, v5e): 6-bit direction code
+    (2 bits/axis, interleaved) before the origin Morton code traced 1.9x
+    faster than the origin-major key; finer direction codes (9/12 bits)
+    lose origin coherence and regress. Fits int32 (no x64 dependency);
+    the reference's exact (origin, direction) bit budget is unverifiable
+    (empty mount).
     """
     oc = morton_codes_3d(ns, orig, scene_lo, scene_hi)
-    return (oc & ~np.int32(7)) | _direction_octant(ns, dirn)
+    n2 = ns.clip(
+        ((dirn / ns.maximum(
+            ns.linalg.norm(dirn, axis=-1, keepdims=True), 1e-30)
+          + 1.0) * 2.0).astype("int32"), 0, 3)
+    dir6 = ns.zeros_like(oc)
+    for b in range(2):
+        dir6 = (dir6
+                | ((n2[..., 0] >> b) & 1) << (3 * b + 2)
+                | ((n2[..., 1] >> b) & 1) << (3 * b + 1)
+                | ((n2[..., 2] >> b) & 1) << (3 * b + 0))
+    return (dir6 << 25) | (oc >> 5)
 
 
 def morton_sort_rays(batch: RayBatch, scene_lo, scene_hi) -> RayBatch:
-    """Return a new RayBatch sorted for coherence, tracking slot_to_id."""
+    """Return a new RayBatch sorted for coherence, tracking slot_to_id.
+
+    Dead rays (tmax <= tmin: padding, already-terminated) sort to the END
+    so they fill whole packets that exit in one step instead of wasting
+    lanes inside live packets.
+    """
     ns = jnp if isinstance(batch.orig, jax.Array) else np
     key = morton_sort_key(ns, batch.orig, batch.dirn, scene_lo, scene_hi)
+    key = ns.where(batch.tmax <= batch.tmin, np.int32(0x7FFFFFFF), key)
     order = ns.argsort(key)
     ids = batch.slot_to_id
     if ids is None:

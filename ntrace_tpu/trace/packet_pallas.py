@@ -383,6 +383,10 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
         raise ValueError("stats mode counts rows, not unrolled groups")
     if leaf_unroll not in (1, 2, 4):
         raise ValueError("leaf_unroll in {1, 2, 4} (pack spare-row bound)")
+    if (rows * interleave) % 8 != 0:
+        # Mosaic block shapes need sublane counts divisible by 8; the ray
+        # block is (interleave*11*rows, 128).
+        raise ValueError("rows * interleave must be a multiple of 8")
     R = orig.shape[0]
     packet = rows * 128 * interleave
     pad = (-R) % packet

@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""Packet-size sweep for incoherent modes (fairy diffuse/AO)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ntrace_tpu.core import BuildConfig, RenderConfig
+from ntrace_tpu.render.renderer import Renderer, build_accel
+from ntrace_tpu.scenes import default_camera, get_scene
+
+scene = get_scene(os.environ.get("SCENE", "fairy"), n_tris=170_000)
+builder = os.environ.get("BUILDER", "hlbvh")
+bcfg = BuildConfig(builder=builder, max_leaf_size=32)
+flat = build_accel(scene, bcfg, use_cache=True)
+cam = default_camera(scene.name)
+for rows in (16, 8, 4, 2):
+    r = Renderer(scene, bcfg,
+                 RenderConfig(width=1024, height=768, samples=4,
+                              engine="packet", packet_rows=rows), flat=flat)
+    for mode in ("diffuse", "ao"):
+        best = {}
+        for i in range(2):
+            res = r.render(cam, mode=mode)
+            for k, v in res.stats.items():
+                if k.startswith("mrays"):
+                    best[k] = max(best.get(k, 0), v)
+        print(f"rows={rows:2d} {mode:8s}: "
+              + " ".join(f"{k}={v:.2f}" for k, v in sorted(best.items())),
+              flush=True)
