@@ -17,9 +17,14 @@ DISTINCT kernels with genuinely different schedules, not aliases:
                             (fastest on conference primaries)
   packet + frustum        ~ packet_wide (trace/packet_wide.py): 8-ary
                             nodes, conservative packet-frustum culling
+  dynamic ray fetch       ~ packet engine fed by DIRECTION-major sorted
+                            ray queues with dead rays packed last
+                            (ray/raybatch.py morton_sort_key): the warp
+                            refill's goal -- full lanes of similar work on
+                            incoherent rays -- is met by reordering before
+                            dispatch instead of fetching mid-flight
   persistent threads      ~ the one-dispatch chunked XLA engines (stack2/
-                            persistent.py); dynamic ray fetch ~ their chunk
-                            retirement (in-kernel refill: future work)
+                            persistent.py)
 """
 
 from __future__ import annotations
@@ -44,8 +49,10 @@ _REGISTRY = {
         "packet_ifif", 1 << 22, "branch-free speculative if-if kernel"),
     "fermi_speculative_while_while": KernelSpec(
         "packet", 1 << 22, "fastest engine on TPU"),
-    "kepler_dynamic_fetch": KernelSpec("stack2", 1 << 16,
-                                       "chunk-retirement ray refill"),
+    "kepler_dynamic_fetch": KernelSpec(
+        "packet", 1 << 22,
+        "incoherent-ray path: direction-major sorted queues + dead-ray "
+        "packing (renderer sort_secondary) stand in for in-warp refill"),
     "fermi_kdtree_while_while": KernelSpec("kdtree", 1 << 13,
                                            "pair with --builder=kdtree"),
     # Native names:

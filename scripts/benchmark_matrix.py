@@ -14,26 +14,34 @@ from ntrace_tpu.render.renderer import Renderer, build_accel
 from ntrace_tpu.scenes import default_camera, get_scene
 
 CONFIGS = [
-    # (scene, n_tris, builder, modes, samples)  ~ BASELINE.json configs
-    ("sibenik",    80_000,   "binned_sah", ["primary"], 4),
-    ("conference", 280_000,  "lbvh",       ["primary", "shadow"], 4),
-    ("fairy",      170_000,  "hlbvh",      ["diffuse", "ao"], 4),
-    ("hairball",   2_900_000,"lbvh",       ["ao"], 4),
-    ("san_miguel", 10_000_000,"binned_sah",["path"], 1),
+    # (scene, n_tris, builder, bcfg_extra, modes, samples)
+    # ~ BASELINE.json configs; engine-tuned SAH profiles (leaf_sweep*.py)
+    ("sibenik",    80_000,   "binned_sah",
+     dict(sah_tri_cost=0.02, max_leaf_size=48), ["primary"], 4),
+    ("conference", 280_000,  "lbvh",
+     dict(max_leaf_size=32, sah_tri_cost=0.02), ["primary", "shadow"], 4),
+    ("fairy",      170_000,  "hlbvh",
+     dict(max_leaf_size=32, sah_tri_cost=0.02), ["diffuse", "ao"], 4),
+    ("hairball",   2_900_000,"lbvh",
+     dict(max_leaf_size=32, sah_tri_cost=0.02), ["ao"], 4),
+    ("san_miguel", 10_000_000,"binned_sah",
+     dict(sah_tri_cost=0.02, max_leaf_size=48), ["path"], 1),
 ]
 results = []
-for name, n, builder, modes, samples in CONFIGS:
+for name, n, builder, extra, modes, samples in CONFIGS:
     try:
         t0=time.time()
         scene = get_scene(name, n_tris=n)
         print(f"[{name}] gen {time.time()-t0:.0f}s tris={scene.num_tris}", flush=True)
+        bcfg = BuildConfig(builder=builder, **extra)
         t0=time.time()
-        flat = build_accel(scene, BuildConfig(builder=builder), use_cache=True)
+        flat = build_accel(scene, bcfg, use_cache=True)
         bt = time.time()-t0
         print(f"[{name}] {builder} build {bt:.0f}s nodes={flat.nodes.shape[0]} "
               f"{flat.nbytes()/1e6:.0f}MB", flush=True)
-        cfg = RenderConfig(width=1024, height=768, mode=modes[0], samples=samples)
-        r = Renderer(scene, BuildConfig(builder=builder), cfg, flat=flat)
+        cfg = RenderConfig(width=1024, height=768, mode=modes[0],
+                           samples=samples, packet_rows=16)
+        r = Renderer(scene, bcfg, cfg, flat=flat)
         cam = default_camera(name)
         for mode in modes:
             best = {}
@@ -43,12 +51,13 @@ for name, n, builder, modes, samples in CONFIGS:
                     if k.startswith("mrays"):
                         best[k] = max(best.get(k, 0), v)
             entry = dict(scene=name, tris=scene.num_tris, builder=builder,
-                         mode=mode, build_s=round(bt,1), **{k: round(v,4) for k,v in best.items()})
+                         mode=mode, engine=r.engine, build_s=round(bt,1),
+                         **{k: round(v,4) for k,v in best.items()})
             results.append(entry)
             print(f"[{name}] {mode}: {entry}", flush=True)
     except Exception as e:
         print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
         results.append(dict(scene=name, error=str(e)[:200]))
-with open('results_matrix_r1.json','w') as f:
+with open('results_matrix_r2.json','w') as f:
     json.dump(results, f, indent=2)
 print("MATRIX DONE", flush=True)
