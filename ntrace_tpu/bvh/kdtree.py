@@ -3,10 +3,15 @@
 Capability parity: NTrace extends the Aila-Laine framework with kd-trees
 (expected rt/kdtree/NaiveKDTreeBuilder + FastKDTreeBuilder and
 rt/cuda/CudaKDTree; Vinkler's papers; mount empty -- SURVEY.md SS0/SS3.2).
-This is a from-scratch binned-SAH kd builder (greedy surface-area
-heuristic over 32 candidate planes on the largest axis per node, with
-reference duplication and box clipping at split planes), emitting a
-flattened layout that shares the framework's unified-table conventions:
+This is a from-scratch EXACT-SAH kd builder of the Wald-Havran quality
+class: every candidate plane (clipped reference-AABB min/max events) on
+all three axes is evaluated per node with exact left/right counts from
+sorted event positions, empty-cell cut-offs get the classic lambda=0.8
+bonus, and straddling references' boxes are clipped to their cells so
+deeper SAH sees true extents. (The per-node-resort O(N log^2 N)
+formulation rather than the O(N log N) maintained-event-list one: same
+trees, simpler host code at our scene scales.) Emits a flattened layout
+sharing the framework's unified-table conventions:
 
   node row (float32[16]):
     col 0      : split position (canonicalized away from -0.0)
@@ -16,9 +21,6 @@ flattened layout that shares the framework's unified-table conventions:
   leaf rows   : the SAME woop-record runs + 0x80000000 sentinels as the
                 BVH layout (bvh/flatten.py), so leaf machinery is shared.
 
-Note (documented deviation): the reference also ships an O(N log N)
-Wald-Havran exact-SAH builder; this binned greedy build is the
-capability-equivalent quality class used by its GPU builders.
 """
 
 from __future__ import annotations
@@ -57,7 +59,6 @@ def build_kdtree(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatKDTree:
     # kd trees want deeper recursion and smaller leaves than BVHs.
     max_depth = min(cfg.max_depth, 24)
     max_leaf = max(cfg.max_leaf_size, 4)
-    nb = 32
 
     child_rows: list[list[int]] = []
     split_pos: list[float] = []
@@ -87,7 +88,46 @@ def build_kdtree(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatKDTree:
 
     empty_leaf_marks: list[int] = []
 
-    def build(idx, box_lo, box_hi, depth) -> int:
+    EMPTY_BONUS = 0.8  # Wald-Havran lambda: discount cutting off empty space
+
+    def exact_split(lo, hi, box_lo, box_hi):
+        """Exact SAH over every candidate plane (clipped ref AABB min/max
+        events, all 3 axes) -- the Wald-Havran quality class, in the
+        per-node-resort O(N log^2 N) formulation. Returns
+        (sah, axis, plane) or (inf, -1, 0)."""
+        best = (np.inf, -1, 0.0)
+        d = box_hi - box_lo
+        for axis in range(3):
+            if d[axis] <= 0:
+                continue
+            a1, a2 = (axis + 1) % 3, (axis + 2) % 3
+            other = d[a1] * d[a2]
+            peri = d[a1] + d[a2]
+            area = 2.0 * (other + d[axis] * peri)
+            starts = np.sort(lo[:, axis])
+            ends = np.sort(hi[:, axis])
+            planes = np.unique(np.concatenate([starts, ends]))
+            planes = planes[(planes > box_lo[axis]) & (planes < box_hi[axis])]
+            if not len(planes):
+                continue
+            # Nl(p) = refs starting strictly left of p; Nr(p) = refs ending
+            # strictly right of p (planar-at-p refs sit in both -- the
+            # standard conservative classification without the planar set).
+            nl = np.searchsorted(starts, planes, side="left")
+            nr = len(ends) - np.searchsorted(ends, planes, side="right")
+            wl = planes - box_lo[axis]
+            wr = box_hi[axis] - planes
+            sah = (cfg.sah_node_cost
+                   + cfg.sah_tri_cost * (nl * 2.0 * (other + wl * peri)
+                                         + nr * 2.0 * (other + wr * peri))
+                   / area)
+            sah = np.where((nl == 0) | (nr == 0), sah * EMPTY_BONUS, sah)
+            k = int(np.argmin(sah))
+            if sah[k] < best[0]:
+                best = (float(sah[k]), axis, float(planes[k]))
+        return best
+
+    def build(idx, box_lo, box_hi, lo, hi, depth) -> int:
         count = len(idx)
         if count == 0:
             leaf = make_leaf(idx)
@@ -95,50 +135,38 @@ def build_kdtree(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatKDTree:
             return leaf
         if count <= max_leaf or depth >= max_depth:
             return make_leaf(idx)
-        lo = lo_arr[0][idx]
-        hi = hi_arr[0][idx]
-        ext = box_hi - box_lo
-        axis = int(np.argmax(ext))
-        if ext[axis] <= 0:
+        sah, axis, plane = exact_split(lo, hi, box_lo, box_hi)
+        if axis < 0 or sah >= cfg.sah_tri_cost * count:
             return make_leaf(idx)
-        edges = box_lo[axis] + (np.arange(1, nb, dtype=np.float32) / nb) * ext[axis]
-        # SAH per candidate plane.
-        d = box_hi - box_lo
-        other = d[(axis + 1) % 3] * d[(axis + 2) % 3]
-        peri = d[(axis + 1) % 3] + d[(axis + 2) % 3]
-        area = 2 * (other + d[axis] * peri)
-        lcnt = (lo[:, axis:axis + 1] < edges[None, :]).sum(axis=0)
-        rcnt = (hi[:, axis:axis + 1] > edges[None, :]).sum(axis=0)
-        wl = edges - box_lo[axis]
-        wr = box_hi[axis] - edges
-        sah = (cfg.sah_node_cost
-               + cfg.sah_tri_cost * (lcnt * 2 * (other + wl * peri)
-                                     + rcnt * 2 * (other + wr * peri)) / area)
-        k = int(np.argmin(sah))
-        if sah[k] >= cfg.sah_tri_cost * count:
-            return make_leaf(idx)
-        plane = float(edges[k])
 
         go_l = lo[:, axis] < plane
         go_r = hi[:, axis] > plane
         on_plane = ~(go_l | go_r)  # degenerate refs exactly on the plane
-        li = idx[go_l | on_plane]
+        lsel = go_l | on_plane
+        li = idx[lsel]
         ri = idx[go_r]
+        # Clip straddling refs' boxes to their cells so deeper exact SAH
+        # sees true (Wald-Havran "perfect split"-lite) extents.
+        l_lo, l_hi = lo[lsel], hi[lsel].copy()
+        l_hi[:, axis] = np.minimum(l_hi[:, axis], plane)
+        r_lo, r_hi = lo[go_r].copy(), hi[go_r]
+        r_lo[:, axis] = np.maximum(r_lo[:, axis], plane)
         node = len(child_rows)
         child_rows.append([0, 0])
         split_pos.append(plane)
         split_axis.append(axis)
         bl_hi = box_hi.copy(); bl_hi[axis] = plane
         br_lo = box_lo.copy(); br_lo[axis] = plane
-        c0 = build(li, box_lo, bl_hi, depth + 1)
-        c1 = build(ri, br_lo, box_hi, depth + 1)
+        c0 = build(li, box_lo, bl_hi, l_lo, l_hi, depth + 1)
+        c1 = build(ri, br_lo, box_hi, r_lo, r_hi, depth + 1)
         child_rows[node] = [c0, c1]
         return node
 
     import sys
 
     sys.setrecursionlimit(100000)
-    root = build(np.arange(n, dtype=np.int64), root_lo.copy(), root_hi.copy(), 0)
+    root = build(np.arange(n, dtype=np.int64), root_lo.copy(), root_hi.copy(),
+                 ref_lo, ref_hi, 0)
 
     if root < 0:  # whole scene one leaf: emit a trivial split node
         empty = make_leaf(np.array([], dtype=np.int64))
