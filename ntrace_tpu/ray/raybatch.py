@@ -50,21 +50,29 @@ def _direction_octant(ns, dirn):
     )
 
 
-def morton_sort_key(ns, orig, dirn, scene_lo, scene_hi):
-    """Coherence sort key: DIRECTION-major, then origin Morton.
+def morton_sort_key(ns, orig, dirn, scene_lo, scene_hi,
+                    direction_major: bool = True):
+    """Coherence sort key for ray reordering.
 
-    The shared-stack packet engine's per-step cost is the union of nodes a
-    packet's rays want; for incoherent (bounce/AO) rays the dominant
-    coherence axis is DIRECTION, not origin -- the packet's near-child
-    ordering and frustum of travel assume one heading. Measured on fairy
-    diffuse bounces (scripts/sortkey_sweep.py, v5e): 6-bit direction code
-    (2 bits/axis, interleaved) before the origin Morton code traced 1.9x
-    faster than the origin-major key; finer direction codes (9/12 bits)
-    lose origin coherence and regress. Fits int32 (no x64 dependency);
-    the reference's exact (origin, direction) bit budget is unverifiable
-    (empty mount).
+    direction_major=True: 6-bit direction code (2 bits/axis, interleaved)
+    before the origin Morton code. The shared-stack packet engine's
+    per-step cost is the union of nodes a packet's rays want; for LONG
+    incoherent rays (diffuse/path bounces) the dominant coherence axis is
+    DIRECTION -- measured 1.9x on fairy diffuse bounces vs origin-major
+    (scripts/sortkey_sweep.py, v5e); finer direction codes (9/12 bits)
+    lose origin coherence and regress.
+
+    direction_major=False: origin-major with the direction octant in the
+    low bits -- the right key for SHORT rays (AO at ao_radius tmax),
+    whose node unions are local to the origin; direction-major measured
+    2x SLOWER there (fairy AO 52 -> 24 Mrays/s).
+
+    Fits int32 (no x64 dependency); the reference's exact (origin,
+    direction) bit budget is unverifiable (empty mount).
     """
     oc = morton_codes_3d(ns, orig, scene_lo, scene_hi)
+    if not direction_major:
+        return (oc & ~np.int32(7)) | _direction_octant(ns, dirn)
     n2 = ns.clip(
         ((dirn / ns.maximum(
             ns.linalg.norm(dirn, axis=-1, keepdims=True), 1e-30)
@@ -78,15 +86,18 @@ def morton_sort_key(ns, orig, dirn, scene_lo, scene_hi):
     return (dir6 << 25) | (oc >> 5)
 
 
-def morton_sort_rays(batch: RayBatch, scene_lo, scene_hi) -> RayBatch:
+def morton_sort_rays(batch: RayBatch, scene_lo, scene_hi,
+                     direction_major: bool = True) -> RayBatch:
     """Return a new RayBatch sorted for coherence, tracking slot_to_id.
 
-    Dead rays (tmax <= tmin: padding, already-terminated) sort to the END
-    so they fill whole packets that exit in one step instead of wasting
-    lanes inside live packets.
+    direction_major: see morton_sort_key -- True for long bounce rays,
+    False for short (AO-class) rays. Dead rays (tmax <= tmin: padding,
+    already-terminated) sort to the END so they fill whole packets that
+    exit in one step instead of wasting lanes inside live packets.
     """
     ns = jnp if isinstance(batch.orig, jax.Array) else np
-    key = morton_sort_key(ns, batch.orig, batch.dirn, scene_lo, scene_hi)
+    key = morton_sort_key(ns, batch.orig, batch.dirn, scene_lo, scene_hi,
+                          direction_major=direction_major)
     key = ns.where(batch.tmax <= batch.tmin, np.int32(0x7FFFFFFF), key)
     order = ns.argsort(key)
     ids = batch.slot_to_id

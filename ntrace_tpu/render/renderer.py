@@ -496,7 +496,10 @@ class Renderer:
                                jnp.where(jnp.repeat(hit_mask, S), sec.tmax, 0.0),
                                sec.slot_to_id)
                 if cfg.sort_secondary:
-                    sec = morton_sort_rays(sec, self.scene_lo, self.scene_hi)
+                    # AO rays are short (ao_radius tmax): origin-major key;
+                    # long bounce rays: direction-major (see raybatch.py).
+                    sec = morton_sort_rays(sec, self.scene_lo, self.scene_hi,
+                                           direction_major=(mode != "ao"))
                 jax.block_until_ready(sec.tmax)
             with timer.stage(f"trace_{mode}"):
                 stri, st, su, sv = _trace_batched(
