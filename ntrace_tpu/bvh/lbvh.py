@@ -435,7 +435,12 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     parent = jnp.where(par_left, a, b)
     side = jnp.where(par_left, jnp.int32(1), jnp.int32(0))
     size = b - a
-    kept = (iota >= 1) & (size > max_leaf)
+    # D == 30 boundaries separate DUPLICATE codes: splitting them yields
+    # index-order chains whose depth is unbounded (a >128-deep chain
+    # silently overflows the packet kernel's traversal stack -- caught on
+    # full-conference LBVH). Like any Morton builder, duplicate clusters
+    # become one fat leaf instead: only real-bit boundaries are kept.
+    kept = (iota >= 1) & (size > max_leaf) & (D < 30)
 
     # Leaf runs: boundary r is interior to a leaf iff node r was pruned,
     # so leaves start at row 0 and at every kept boundary.
@@ -447,8 +452,15 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
 
     left_n = iota - a
     right_n = b - iota
-    lleaf = left_n <= max_leaf
-    rleaf = right_n <= max_leaf
+    # A child interval is a LEAF iff it contains no kept boundary (covers
+    # both the size rule and duplicate clusters: the child root would be
+    # the interval's min-priority boundary, which is kept iff any is).
+    pk = jax.lax.cummax(jnp.where(kept, iota, -1))       # last kept <= i
+    nk = jax.lax.cummin(jnp.where(kept, iota, n), reverse=True)
+    pks = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pk[:-1]])
+    nks = jnp.concatenate([nk[1:], jnp.full((1,), n, jnp.int32)])
+    lleaf = pks <= a      # no kept boundary strictly inside (a, i)
+    rleaf = nks >= b      # no kept boundary strictly inside (i, b)
 
     # Child AABBs: sparse range-min table over sorted tri AABBs.
     packedb = jnp.concatenate([slo, -shi], axis=1)

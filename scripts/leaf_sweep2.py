@@ -39,8 +39,8 @@ CONFIGS = ast.literal_eval(os.environ.get("CONFIGS", "[]")) or [
 
 ref = None
 for tri_cost, max_leaf, tpr, rows, lu in CONFIGS:
-    cfg = BuildConfig(builder="binned_sah", sah_tri_cost=tri_cost,
-                      max_leaf_size=max_leaf)
+    cfg = BuildConfig(builder=os.environ.get("BUILDER", "binned_sah"),
+                      sah_tri_cost=tri_cost, max_leaf_size=max_leaf)
     t0 = time.time()
     flat = build_accel(scene, cfg, use_cache=True)
     n_refs = int((flat.tri_index >= 0).sum())

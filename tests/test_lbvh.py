@@ -148,3 +148,35 @@ class TestHLBVH:
         flat = build_hlbvh_flat(scene, BuildConfig(builder="hlbvh"))
         ids = flat.tri_index[flat.tri_index >= 0]
         assert np.array_equal(np.sort(ids), np.arange(scene.num_tris))
+
+
+def test_duplicate_code_clusters_fat_leaves_bounded_depth():
+    """Duplicate-Morton-code clusters must become fat leaves, not
+    index-order chains: a >128-deep chain silently overflows the packet
+    kernel's traversal stack (caught on full-conference LBVH, round 2)."""
+    rng = np.random.default_rng(0)
+    base = make_random_soup(n_tris=1000, seed=9)
+    tv = base.tri_verts().copy()
+    for k in range(5):
+        tv[k * 120:(k + 1) * 120] = tv[k * 120]  # 120 identical tris x5
+    pos = tv.reshape(-1, 3)
+    idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
+    from ntrace_tpu.core import Scene
+    scene = Scene(positions=pos, indices=idx, name="dupes")
+    flat = build_lbvh_flat(scene, BuildConfig(builder="lbvh", max_leaf_size=8))
+    enc = np.ascontiguousarray(flat.nodes[:, 12:14]).view(np.int32)
+    depth, stack = 0, [(0, 1)]
+    while stack:
+        nd, dp = stack.pop()
+        depth = max(depth, dp)
+        for c in enc[nd]:
+            if c >= 0:
+                stack.append((int(c), dp + 1))
+    assert depth <= 64, f"duplicate chains leaked into the tree: depth {depth}"
+    from ntrace_tpu.bvh.golden import brute_force_mt
+    from ntrace_tpu.trace.cpu import trace_cpu_golden
+    from tests.conftest import random_rays
+    o, d, tn, tx = random_rays(np.random.default_rng(1), 256)
+    rec = trace_cpu_golden(flat, o, d, tn, tx)
+    ref = brute_force_mt(scene, o, d, tn, tx)
+    np.testing.assert_array_equal(rec.tri, ref.tri)
