@@ -371,6 +371,9 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     root, node_count, leaf_count, order).
     """
     n = tri_lo.shape[0]
+    if n >= (1 << 24):
+        raise ValueError("lbvh_device_fast: tri ids ride a float32 value "
+                         "lane, exact only below 2**24 tris")
     iota = jnp.arange(n, dtype=jnp.int32)
     cent = (tri_lo + tri_hi) * jnp.float32(0.5)
     codes = morton_codes_3d(jnp, cent, scene_lo, scene_hi)
@@ -514,31 +517,41 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     lo0, hi0 = m0[:, 0:3], -m0[:, 3:6]
     lo1, hi1 = m1[:, 0:3], -m1[:, 3:6]
 
-    kf = kept[:, None]
+    # Assemble node records with masking on the INT side and bitcast as
+    # the very last step into its lane: f32 arithmetic (where/select/
+    # relayout) over bitcast int lanes can FLUSH DENORMALS TO ZERO on
+    # TPU -- small int bit patterns are denormal floats, and exactly that
+    # silently zeroed every on-device tri id until caught (round 2).
     cols = [lo0[:, 0], hi0[:, 0], lo0[:, 1], hi0[:, 1],
             lo1[:, 0], hi1[:, 0], lo1[:, 1], hi1[:, 1],
-            lo0[:, 2], hi0[:, 2], lo1[:, 2], hi1[:, 2],
-            jax.lax.bitcast_convert_type(enc[:, 0], jnp.float32),
-            jax.lax.bitcast_convert_type(enc[:, 1], jnp.float32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)]
-    nodes = jnp.where(kf, jnp.stack(cols, axis=1), 0.0)
+            lo0[:, 2], hi0[:, 2], lo1[:, 2], hi1[:, 2]]
+    nodes = jnp.zeros((n, 16), jnp.float32)
+    for lane, col in enumerate(cols):
+        nodes = nodes.at[:, lane].set(jnp.where(kept, col, 0.0))
+    enc0m = jnp.where(kept, enc[:, 0], 0)
+    enc1m = jnp.where(kept, enc[:, 1], 0)
+    nodes = nodes.at[:, 12].set(
+        jax.lax.bitcast_convert_type(enc0m, jnp.float32))
+    nodes = nodes.at[:, 13].set(
+        jax.lax.bitcast_convert_type(enc1m, jnp.float32))
 
     # Woop rows + tri ids in one (n, 13) scatter; every unwritten row IS
-    # the leaf-end sentinel (lane0 bits 0x80000000, tri_index -1).
+    # the leaf-end sentinel (lane0 bits 0x80000000, tri_index -1). The id
+    # lane carries the tri id as a float VALUE (exact below 2^24), never
+    # a bitcast: bitcast small ints are denormals and TPU f32 data paths
+    # flush them to zero (the silent all-zero-tri_index bug, round 2).
     w = _device_woopify(tv_s)
     wcap = 2 * n
     sent_val = jax.lax.bitcast_convert_type(
         jnp.int32(-0x80000000), jnp.float32)
-    neg1_f = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
     init_row = jnp.zeros((13,), jnp.float32).at[0].set(
-        sent_val).at[12].set(neg1_f)
+        sent_val).at[12].set(-1.0)
     wout = jnp.tile(init_row[None, :], (wcap, 1))
     payload13 = jnp.concatenate(
-        [w, jax.lax.bitcast_convert_type(order, jnp.float32)[:, None]],
-        axis=1)
+        [w, order.astype(jnp.float32)[:, None]], axis=1)
     wout = wout.at[dst].set(payload13, mode="drop", unique_indices=True)
     woop = wout[:, :12]
-    tri_index = jax.lax.bitcast_convert_type(wout[:, 12], jnp.int32)
+    tri_index = wout[:, 12].astype(jnp.int32)
 
     root = jnp.argmax(kept & root_f).astype(jnp.int32)
     return dict(nodes=nodes, woop=woop, tri_index=tri_index, kept=kept,
