@@ -24,6 +24,8 @@ other builder.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ntrace_tpu.bvh.host_bvh import HostBVH
@@ -340,7 +342,7 @@ def build_sbvh(scene: Scene, cfg: BuildConfig = BuildConfig(builder="sbvh")) -> 
         return build_median_bvh(scene, cfg)
     b = _Builder(scene, cfg)
     root = b.build(np.arange(scene.num_tris, dtype=np.int64), 0)
-    if cfg.builder == "sbvh":
+    if cfg.builder == "sbvh" and os.environ.get("NTRACE_VERBOSE"):
         dup = len(b.ref_tri) / max(scene.num_tris, 1)
         print(f"[sbvh] refs={len(b.ref_tri)} dup_ratio={dup:.3f} "
               f"unsplit={b.unsplit_count}", file=sys.stderr)

@@ -148,9 +148,11 @@ class Renderer:
             # single-chunk when the packed tables fit VMEM, Morton-chunked
             # forest (bvh/forest.py) when they don't. Off-TPU the packet
             # kernel only runs interpreted (test-speed), so auto avoids it.
+            # (FlatKDTree also has tri_index; discriminate by TYPE so a kd
+            # accel under auto routes to the kd engine, never the BVH kernel.)
             engine = "stack2"
-            if jax.default_backend() in ("tpu", "axon") and hasattr(
-                    self.flat, "tri_index"):
+            if jax.default_backend() in ("tpu", "axon") and isinstance(
+                    self.flat, FlatBVH):
                 engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
@@ -439,7 +441,7 @@ class Renderer:
                 self._tracer, batch, self._cap(), False
             )
             jax.block_until_ready(t)
-        timer.add("rays_primary", batch.num_rays / 1e3)  # stats are x1e3: stores rays
+        timer.count("rays_primary", batch.num_rays)
 
         hit_mask = tri >= 0
         normals = self._unit_normals(tri, batch.dirn)
@@ -482,7 +484,7 @@ class Renderer:
                     self._tracer, sbatch, self._cap(), True
                 )
                 jax.block_until_ready(stri)
-            timer.add("rays_shadow", sbatch.num_rays / 1e3)
+            timer.count("rays_shadow", sbatch.num_rays)
             lit = (stri < 0).astype(jnp.float32)
             color = shadow_mix(base_col, lit)
         elif mode in ("ao", "diffuse"):
@@ -507,7 +509,7 @@ class Renderer:
                     mode == "ao",
                 )
                 jax.block_until_ready(stri)
-            timer.add(f"rays_{mode}", sec.num_rays / 1e3)
+            timer.count(f"rays_{mode}", sec.num_rays)
             if cfg.sort_secondary:
                 from ntrace_tpu.ray.raybatch import unsort
 
@@ -543,8 +545,7 @@ class Renderer:
                 name = k[5:]
                 tkey = f"trace_{name}" if name != "primary" else "trace_primary"
                 if tkey in stats and stats[tkey] > 0:
-                    # stats[k] = ray count (ms() scaled the /1e3 back up);
-                    # Mrays/s = rays / 1e6 / seconds.
+                    # stats[k] = ray count; stats[tkey] = ms.
                     result.stats[f"mrays_{name}"] = (
                         stats[k] / 1e6 / (stats[tkey] / 1e3)
                     )
@@ -593,7 +594,7 @@ class Renderer:
                     self._tracer, nb, self._cap(), False
                 )
                 jax.block_until_ready(btri)
-            timer.add(f"rays_bounce{b}", R / 1e3)
+            timer.count(f"rays_bounce{b}", R)
             if cfg.sort_secondary:
                 from ntrace_tpu.ray.raybatch import unsort
 

@@ -284,7 +284,7 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                             ctr_ref[0] = ctr_ref[0] + 1
                         return hs
                     n_it = nrows if lu == 1 else (nrows + (lu - 1)) // lu
-                return jax.lax.fori_loop(0, n_it, lbody, hs)
+                    return jax.lax.fori_loop(0, n_it, lbody, hs)
                 hs = jax.lax.cond(
                     any0 & leaf0,
                     lambda hs: empty(-enc0 - 1, rec[0, 14].astype(jnp.int32), hs),

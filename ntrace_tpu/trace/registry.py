@@ -70,10 +70,14 @@ _REGISTRY = {
                               "software-pipelined while-while kernel"),
     "packet_wide": KernelSpec("packet_wide", 1 << 22,
                               "8-wide frustum-interval packet kernel"),
-    "wavefront": KernelSpec("stack2", 1 << 16,
-                            "sorted wavefront pending (PERF_NOTES.md)"),
+    # "auto"/"wavefront" resolve inside Renderer (ONE resolution path shared
+    # by the CLI, bench.py, and the matrix script): packet on TPU backends,
+    # stack2 elsewhere. The wavefront name = the packet engine fed by the
+    # renderer's Morton-sorted ray queues (sort_secondary).
+    "wavefront": KernelSpec("wavefront", 1 << 22,
+                            "packet engine + sorted ray queues (TPU)"),
     "cpu_golden": KernelSpec("cpu_golden", 1 << 30),
-    "auto": KernelSpec("stack2", 1 << 16),
+    "auto": KernelSpec("auto", 1 << 22),
 }
 
 

@@ -28,10 +28,15 @@ def device_time(fn, *args, warmup: int = 1, iters: int = 3, **kw):
 
 
 class StageTimer:
-    """Accumulates per-stage wall times for a frame (build/raygen/trace/shade)."""
+    """Accumulates per-stage wall times for a frame (build/raygen/trace/shade).
+
+    Times and plain counters are separate dicts: `ms()` scales only the
+    times, so counters (ray counts, ...) pass through unchanged.
+    """
 
     def __init__(self):
         self.stages: dict[str, float] = {}
+        self.counts: dict[str, float] = {}
 
     @contextmanager
     def stage(self, name: str, sync=None):
@@ -44,5 +49,8 @@ class StageTimer:
     def add(self, name: str, seconds: float):
         self.stages[name] = self.stages.get(name, 0.0) + seconds
 
+    def count(self, name: str, n: float):
+        self.counts[name] = self.counts.get(name, 0.0) + n
+
     def ms(self) -> dict[str, float]:
-        return {k: v * 1e3 for k, v in self.stages.items()}
+        return {**{k: v * 1e3 for k, v in self.stages.items()}, **self.counts}
