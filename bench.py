@@ -109,7 +109,8 @@ def main():
         run = chained(k)
         acc, tri = run(*args)
         jax.block_until_ready(acc)
-        hit_tri = tri
+        if hit_tri is None:
+            hit_tri = tri  # K=1 chain: traced with tn2 == tmin exactly
         best = 1e30
         for _ in range(3):
             t1 = time.time()
@@ -124,13 +125,33 @@ def main():
     import numpy as np
 
     hit_rate = float((np.asarray(hit_tri) >= 0).mean())
+
+    # On-device image-exactness gate (binding target: image-exact vs the
+    # CPU golden tracer; round 2's denormal-flush bug proved device-only
+    # corruption is real). Deterministic stride subsample keeps the host
+    # golden trace cheap while sampling every packet.
+    n_sub = int(os.environ.get("NTRACE_BENCH_GOLDEN_RAYS", 4096))
+    stride = max(R // n_sub, 1)
+    sub = np.arange(0, R, stride)
+    from ntrace_tpu.trace.cpu import trace_cpu_golden
+
+    rec = trace_cpu_golden(
+        flat, np.asarray(batch.orig)[sub], np.asarray(batch.dirn)[sub],
+        np.asarray(batch.tmin)[sub], np.asarray(batch.tmax)[sub])
+    dev_tri = np.asarray(hit_tri)[sub]
+    mismatches = int((dev_tri != rec.tri).sum())
+    golden_match = mismatches == 0
     print(f"[bench] marginal frame {marginal*1e3:.1f} ms; hit_rate "
-          f"{hit_rate:.3f}; total {time.time()-t0:.1f}s", file=sys.stderr)
+          f"{hit_rate:.3f}; golden {len(sub)-mismatches}/{len(sub)} match; "
+          f"total {time.time()-t0:.1f}s", file=sys.stderr)
     print(json.dumps({
         "metric": "conference_primary_mrays",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 150.0, 4),
+        "golden_match": golden_match,
+        "golden_mismatches": mismatches,
+        "golden_sampled": int(len(sub)),
     }))
 
 

@@ -218,3 +218,67 @@ def build_kdtree(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatKDTree:
         nodes=nodes, woop=woop, tri_index=tri_index,
         root_lo=root_lo, root_hi=root_hi, num_tris=n,
     )
+
+
+def kd_to_flatbvh(kd: FlatKDTree):
+    """Re-express a kd-tree as a FlatBVH of its CELL boxes (TPU fast path).
+
+    A kd cell is an axis-aligned box, so the kd hierarchy is exactly a BVH
+    whose child "bounds" are the two half-cells at each split plane. In that
+    form the Pallas packet engine (trace/packet_pallas.py) traverses it
+    directly: the slab test against a cell box IS the kd interval clip
+    ([cell entry, cell exit] intersected with [tmin, hitT]), near-child
+    ordering via the pack-time order code reproduces front-to-back descent,
+    and the per-lane hitT clamp reproduces kd early exit (cells entirely
+    beyond the current hit are culled). Leaf runs (woop rows + sentinels +
+    duplicated straddling refs) are byte-identical between the two layouts,
+    so they transfer verbatim.
+
+    This replaces the reference's dedicated kd traversal kernels (expected
+    fermi_kdtree_while_while, SURVEY.md SS3.3) with a reuse of the fastest
+    TPU engine; the interval-stack engine (trace/kdtree_jax.py) remains as
+    the semantics reference.
+    """
+    from ntrace_tpu.bvh.flatten import FlatBVH
+
+    kn = kd.nodes
+    N = kn.shape[0]
+    axis = np.ascontiguousarray(kn[:, 1]).view(np.int32)
+    split = kn[:, 0]
+    children = np.ascontiguousarray(kn[:, 12:14]).view(np.int32)  # (N, 2)
+
+    lo = np.zeros((N, 3), np.float32)
+    hi = np.zeros((N, 3), np.float32)
+    lo[0], hi[0] = kd.root_lo, kd.root_hi
+    out = np.zeros((N, 16), np.float32)
+    out[:, 12:14] = children.view(np.float32).reshape(N, 2)
+
+    frontier = np.array([0], np.int64)
+    while len(frontier):
+        ax = axis[frontier]
+        sp = split[frontier]
+        f = np.arange(len(frontier))
+        c_lo = [lo[frontier].copy(), lo[frontier].copy()]
+        c_hi = [hi[frontier].copy(), hi[frontier].copy()]
+        c_hi[0][f, ax] = sp   # below-split child
+        c_lo[1][f, ax] = sp   # above-split child
+        # flatten.py lane order: c0 x/y in 0..3, c1 x/y in 4..7, z in 8..11.
+        for s, (base_xy, base_z) in enumerate(((0, 8), (4, 10))):
+            out[frontier, base_xy + 0] = c_lo[s][:, 0]
+            out[frontier, base_xy + 1] = c_hi[s][:, 0]
+            out[frontier, base_xy + 2] = c_lo[s][:, 1]
+            out[frontier, base_xy + 3] = c_hi[s][:, 1]
+            out[frontier, base_z + 0] = c_lo[s][:, 2]
+            out[frontier, base_z + 1] = c_hi[s][:, 2]
+        nxt = []
+        for s in range(2):
+            ch = children[frontier, s]
+            m = ch >= 0
+            if m.any():
+                lo[ch[m]] = c_lo[s][m]
+                hi[ch[m]] = c_hi[s][m]
+                nxt.append(ch[m].astype(np.int64))
+        frontier = np.concatenate(nxt) if nxt else np.empty(0, np.int64)
+
+    return FlatBVH(nodes=out, woop=kd.woop, tri_index=kd.tri_index,
+                   num_tris=kd.num_tris, sah_cost=0.0)

@@ -39,6 +39,28 @@ def _area(lo, hi):
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
+def _bin_minmax(binid, lo, hi, nb):
+    """Per-bin AABB bounds via argsort + reduceat.
+
+    np.minimum.at/maximum.at measured ~650 ns/element on this host -- it
+    was 35% of the whole 10M-tri build; the sort+segmented-reduce form is
+    ~20x faster for the same result."""
+    order = np.argsort(binid, kind="stable")
+    bs = binid[order]
+    edges = np.searchsorted(bs, np.arange(nb + 1))
+    blo = np.full((nb, 3), np.inf, np.float32)
+    bhi = np.full((nb, 3), -np.inf, np.float32)
+    ne = edges[:-1] < edges[1:]
+    starts = edges[:-1][ne]
+    if starts.size:
+        # Segments between consecutive NONEMPTY starts contain exactly one
+        # bin's elements (empty bins contribute none), so reduceat over the
+        # nonempty starts is the per-bin reduction.
+        blo[ne] = np.minimum.reduceat(lo[order], starts, axis=0)
+        bhi[ne] = np.maximum.reduceat(hi[order], starts, axis=0)
+    return blo, bhi
+
+
 class _Builder:
     def __init__(self, scene: Scene | None, cfg: BuildConfig,
                  boxes: tuple[np.ndarray, np.ndarray] | None = None):
@@ -60,6 +82,10 @@ class _Builder:
         root_hi = self.ref_hi.max(axis=0)
         self.min_overlap = cfg.sbvh_alpha * _area(root_lo, root_hi)
         self.spatial = cfg.builder == "sbvh"
+        # Refs grow under spatial splits; amortized (geometric) growth --
+        # per-split np.concatenate of the 10M-ref arrays was O(N^2) and
+        # made SBVH intractable at San Miguel scale.
+        self.n_refs = len(self.ref_tri)
 
         self.unsplit_count = 0
         self.child_rows: list[list[int]] = []
@@ -88,11 +114,7 @@ class _Builder:
             scale = nb / (chi[axis] - clo[axis])
             b = np.minimum(((cent[:, axis] - clo[axis]) * scale).astype(np.int32), nb - 1)
             cnt = np.bincount(b, minlength=nb)
-            # Per-bin bounds.
-            blo = np.full((nb, 3), np.inf, np.float32)
-            bhi = np.full((nb, 3), -np.inf, np.float32)
-            np.minimum.at(blo, b, lo)
-            np.maximum.at(bhi, b, hi)
+            blo, bhi = _bin_minmax(b, lo, hi, nb)
             # Prefix/suffix sweeps.
             llo = np.minimum.accumulate(blo, axis=0)
             lhi = np.maximum.accumulate(bhi, axis=0)
@@ -144,10 +166,7 @@ class _Builder:
                 chi2 = hi[rep].copy()
                 clo[:, axis] = np.maximum(clo[:, axis], edges[binid])
                 chi2[:, axis] = np.minimum(chi2[:, axis], edges[binid + 1])
-                blo = np.full((nb, 3), np.inf, np.float32)
-                bhi = np.full((nb, 3), -np.inf, np.float32)
-                np.minimum.at(blo, binid, clo)
-                np.maximum.at(bhi, binid, chi2)
+                blo, bhi = _bin_minmax(binid, clo, chi2, nb)
             llo = np.minimum.accumulate(blo, axis=0)
             lhi = np.maximum.accumulate(bhi, axis=0)
             rlo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
@@ -280,15 +299,31 @@ class _Builder:
             rfrag_lo = self.ref_lo[sidx].copy()
             rfrag_hi = self.ref_hi[sidx]
             rfrag_lo[:, axis] = np.maximum(rfrag_lo[:, axis], plane)
-            new_base = len(self.ref_tri)
-            self.ref_tri = np.concatenate([self.ref_tri, self.ref_tri[sidx]])
-            self.ref_lo = np.concatenate([self.ref_lo, rfrag_lo])
-            self.ref_hi = np.concatenate([self.ref_hi, rfrag_hi])
+            new_base = self._append_refs(self.ref_tri[sidx], rfrag_lo, rfrag_hi)
             self.ref_hi[sidx] = lfrag_hi
             new_idx = np.arange(new_base, new_base + len(sidx), dtype=np.int64)
             left_idx = np.concatenate([left_idx, sidx])
             right_idx = np.concatenate([right_idx, new_idx])
         return left_idx, right_idx
+
+    def _append_refs(self, tri, lo, hi) -> int:
+        """Append new refs; returns their base index. Capacity doubles so
+        total copying stays O(N log N) across the whole build."""
+        k = len(tri)
+        base = self.n_refs
+        cap = len(self.ref_tri)
+        if base + k > cap:
+            new_cap = max(base + k, cap + (cap >> 1) + 64)
+            grow = lambda a, fill: np.concatenate(
+                [a, np.full((new_cap - cap,) + a.shape[1:], fill, a.dtype)])
+            self.ref_tri = grow(self.ref_tri, -1)
+            self.ref_lo = grow(self.ref_lo, 0)
+            self.ref_hi = grow(self.ref_hi, 0)
+        self.ref_tri[base:base + k] = tri
+        self.ref_lo[base:base + k] = lo
+        self.ref_hi[base:base + k] = hi
+        self.n_refs = base + k
+        return base
 
     def _median_fallback(self, idx, depth, cent):
         axis = int(np.argmax(cent.max(0) - cent.min(0)))
@@ -343,8 +378,8 @@ def build_sbvh(scene: Scene, cfg: BuildConfig = BuildConfig(builder="sbvh")) -> 
     b = _Builder(scene, cfg)
     root = b.build(np.arange(scene.num_tris, dtype=np.int64), 0)
     if cfg.builder == "sbvh" and os.environ.get("NTRACE_VERBOSE"):
-        dup = len(b.ref_tri) / max(scene.num_tris, 1)
-        print(f"[sbvh] refs={len(b.ref_tri)} dup_ratio={dup:.3f} "
+        dup = b.n_refs / max(scene.num_tris, 1)
+        print(f"[sbvh] refs={b.n_refs} dup_ratio={dup:.3f} "
               f"unsplit={b.unsplit_count}", file=sys.stderr)
     if root < 0:  # whole scene became one leaf: force a trivial split
         from ntrace_tpu.bvh.median import build_median_bvh

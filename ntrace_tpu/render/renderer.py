@@ -143,13 +143,27 @@ class Renderer:
         with self.timer.stage("build"):
             self.flat = flat if flat is not None else build_accel(scene, build_cfg)
         engine = cfg.engine
+        from ntrace_tpu.bvh.kdtree import FlatKDTree, kd_to_flatbvh
+
+        if engine == "kdtree" and not isinstance(self.flat, FlatKDTree):
+            # The interval-stack kd engine needs a kd accel; rebuild
+            # regardless of the given flat.
+            from ntrace_tpu.bvh.kdtree import build_kdtree
+
+            self.flat = build_kdtree(scene, build_cfg)
+        if isinstance(self.flat, FlatKDTree) and engine != "kdtree":
+            # kd fast path: re-express the kd tree as a FlatBVH of its CELL
+            # boxes (bvh/kdtree.py kd_to_flatbvh) and run the requested BVH
+            # engine over it -- under auto on TPU that is the Pallas packet
+            # kernel. The interval-stack semantics-reference engine stays
+            # under the explicit name "kdtree".
+            self.flat_kd = self.flat
+            self.flat = kd_to_flatbvh(self.flat)
         if engine in ("auto", "wavefront"):
             # The Pallas packet engine is the fast path everywhere on TPU:
             # single-chunk when the packed tables fit VMEM, Morton-chunked
             # forest (bvh/forest.py) when they don't. Off-TPU the packet
             # kernel only runs interpreted (test-speed), so auto avoids it.
-            # (FlatKDTree also has tri_index; discriminate by TYPE so a kd
-            # accel under auto routes to the kd engine, never the BVH kernel.)
             engine = "stack2"
             if jax.default_backend() in ("tpu", "axon") and isinstance(
                     self.flat, FlatBVH):
@@ -161,15 +175,6 @@ class Renderer:
             raise ValueError(
                 f"unknown engine {engine!r}; known: {known_engines}"
             )
-        from ntrace_tpu.bvh.kdtree import FlatKDTree
-
-        if isinstance(self.flat, FlatKDTree):
-            engine = "kdtree"
-        elif engine == "kdtree":
-            # kd engine needs a kd accel; rebuild regardless of given flat.
-            from ntrace_tpu.bvh.kdtree import build_kdtree
-
-            self.flat = build_kdtree(scene, build_cfg)
         self.engine = engine
         if engine == "stack":
             self.flat_dev = (
@@ -360,6 +365,7 @@ class Renderer:
 
         from ntrace_tpu.bvh.forest import morton_partition, sub_scene
         from ntrace_tpu.bvh.packed import pack_bvh
+        from ntrace_tpu.ops.aabb import safe_inv_dir
         from ntrace_tpu.trace.packet_pallas import trace_packet
 
         chunks = morton_partition(scene, max_refs=max(VMEM_BUDGET // 64, 1))
@@ -371,33 +377,57 @@ class Renderer:
             _, avg_leaf, tpr, npr = layout_of(fl)
             pk = pack_bvh(fl, sub.tri_verts(), tris_per_row=tpr,
                           nodes_per_row=npr, tri_id_map=ids.astype(np.int64))
+            lo_k, hi_k = sub.bbox()
             self.forest.append(dict(
                 nodes=jax.device_put(jnp.asarray(pk.nodes8)),
                 tris=jax.device_put(jnp.asarray(pk.tris12)),
                 tpr=pk.tris_per_row, npr=pk.nodes_per_row,
                 lu=4 if avg_leaf >= 6.0 else 1,
+                lo=jnp.asarray(lo_k), hi=jnp.asarray(hi_k),
             ))
         print(f"[renderer] packet forest: {len(self.forest)} chunks, "
               f"{sum(c['nodes'].nbytes + c['tris'].nbytes for c in self.forest)/1e6:.0f}"
               f" MB total", file=sys.stderr)
 
+        def _seg_hits(o, d, tn, tx, lo, hi):
+            """Conservative [tn,tx] segment vs chunk AABB (NaN-suppressing
+            fmin/fmax, matching ops/aabb.py slab semantics). False means NO
+            triangle of the chunk can be hit by the ray's live segment."""
+            inv = safe_inv_dir(jnp, d)
+            t0 = (lo[None, :] - o) * inv
+            t1 = (hi[None, :] - o) * inv
+            begin = jnp.fmax(jnp.fmin(t0, t1).max(axis=1), tn)
+            end = jnp.fmin(jnp.fmax(t0, t1).min(axis=1), tx)
+            return begin <= end
+
         def _tracer(o, d, tn, tx, any_hit):
-            best = None
+            # Miss conventions match the single-chunk kernel: tri=-1, t=tmax,
+            # u=v=0 (chunk passes run with masked tmax, so their miss values
+            # must not leak into the result).
+            zero = jnp.zeros_like(tn)
+            best = [jnp.full(tn.shape, -1, jnp.int32), tx, zero, zero]
             cur_tx = tx
             for c in self.forest:
+                # Between-pass compaction (the reference's dynamic-fetch
+                # capability, SURVEY.md SS3.3): rays whose live segment
+                # misses this chunk's bbox -- finished any-hit rays,
+                # closest-hit rays whose shrunken [tn, bestT] no longer
+                # reaches the chunk, and plain spatial misses -- are
+                # dead-marked (tmax=tmin). The coherence sort packs such
+                # rays together, so their packets exit in ~1 step and the
+                # live packets traverse tighter unions.
+                live = _seg_hits(o, d, tn, cur_tx, c["lo"], c["hi"])
+                tx_k = jnp.where(live, cur_tx, tn)
                 tri_k, t_k, u_k, v_k = trace_packet(
-                    c["nodes"], c["tris"], o, d, tn, cur_tx,
+                    c["nodes"], c["tris"], o, d, tn, tx_k,
                     any_hit=any_hit, rows=rows, interpret=interpret,
                     order="code", tris_per_row=c["tpr"],
                     nodes_per_row=c["npr"], leaf_unroll=c["lu"])
                 got = tri_k >= 0
-                if best is None:
-                    best = [tri_k, t_k, u_k, v_k]
-                else:
-                    # Chunk k ran with tmax = best-so-far t, so any hit it
-                    # reports is strictly closer (or the ray was dead).
-                    for i, val in enumerate((tri_k, t_k, u_k, v_k)):
-                        best[i] = jnp.where(got, val, best[i])
+                # Chunk k ran with tmax = best-so-far t, so any hit it
+                # reports is strictly closer (or the ray was dead).
+                for i, val in enumerate((tri_k, t_k, u_k, v_k)):
+                    best[i] = jnp.where(got, val, best[i])
                 found = best[0] >= 0
                 if any_hit:
                     cur_tx = jnp.where(found, tn, tx)   # kill finished rays

@@ -53,8 +53,11 @@ _REGISTRY = {
         "packet", 1 << 22,
         "incoherent-ray path: direction-major sorted queues + dead-ray "
         "packing (renderer sort_secondary) stand in for in-warp refill"),
-    "fermi_kdtree_while_while": KernelSpec("kdtree", 1 << 13,
-                                           "pair with --builder=kdtree"),
+    "fermi_kdtree_while_while": KernelSpec(
+        "auto", 1 << 22,
+        "pair with --builder=kdtree: kd cells re-expressed as a cell-box "
+        "BVH traverse via the packet engine on TPU (bvh/kdtree.py "
+        "kd_to_flatbvh); 'kdtree' names the interval-stack reference engine"),
     # Native names:
     "stack": KernelSpec("stack", 1 << 16, "v1 two-table engine"),
     "stack2": KernelSpec("stack2", 1 << 16, "unified-table macro-step engine"),

@@ -95,6 +95,14 @@ def make_kernel(level: str):
             if level == "P0":
                 enc0 = row[0, 12].astype(jnp.int32)
                 return node + enc0 + 1, acc
+            if level == "PDYN":
+                # P0 + a data-dependent LANE read from the loaded row
+                # (prices the baked-permutation-table trick: scalar reads
+                # at runtime-computed lanes).
+                enc0 = row[0, 12].astype(jnp.int32)
+                j = jnp.bitwise_and(enc0 + k, 127)
+                dyn = row[0, j].astype(jnp.int32)
+                return node + enc0 + jnp.bitwise_and(dyn, 1) + 1, acc
             rec = pltpu.roll(row, jnp.bitwise_and(128 - 16 * jnp.bitwise_and(node, 7), 127), axis=1)
             if level == "P1":
                 enc0 = rec[0, 12].astype(jnp.int32)
@@ -127,6 +135,23 @@ def make_kernel(level: str):
                 # consume h0/h1 per-lane (no reduce): fold into acc
                 acc = jnp.where(h0 & h1, acc, acc * np.float32(0.9999))
                 return node + enc0 + enc1 + 1, acc
+            if level == "P3or":
+                # any-hit via a bitwise-OR roll tree (10 dependent vector
+                # ops) + ONE plain lane extract, instead of jnp.sum's
+                # cross-lane reduce. Hypothesis: the sum's +115 ns is the
+                # vector->scalar boundary of the reduction instruction;
+                # extracts of computed vregs may be cheaper.
+                m = h0.astype(jnp.int32) | (h1.astype(jnp.int32) << 1)
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    m = m | pltpu.roll(m, sh, axis=1)
+                for sh in (8, 4, 2, 1):
+                    if sh < ROWS:
+                        m = m | pltpu.roll(m, sh, axis=0)
+                bits = m[0, 0]
+                any0 = (bits & 1) > 0
+                any1 = (bits & 2) > 0
+                nxt = jnp.where(any0, enc0, jnp.where(any1, enc1, node + 1))
+                return nxt + 1, acc
             hs_sum = jnp.sum(h0.astype(jnp.int32) << 16 | h1.astype(jnp.int32))
             any0 = hs_sum >= (1 << 16)
             any1 = (hs_sum & 0xFFFF) > 0

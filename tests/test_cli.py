@@ -87,7 +87,15 @@ def test_auto_engine_unified(monkeypatch):
         r = Renderer(scene, BuildConfig(builder="binned_sah"),
                      RenderConfig(width=8, height=8, engine=name))
         assert r.engine == "packet", name
-    # kd accel under auto on TPU: kd engine, never the BVH packet kernel.
+    # kd accel under auto on TPU: the packet engine over the kd CELL-box
+    # FlatBVH view (kd_to_flatbvh), never the raw-kd-layout misread.
+    from ntrace_tpu.bvh.flatten import FlatBVH
+
     r = Renderer(scene, BuildConfig(builder="kdtree"),
                  RenderConfig(width=8, height=8, engine="auto"))
+    assert r.engine == "packet" and isinstance(r.flat, FlatBVH)
+    assert hasattr(r, "flat_kd")
+    # Explicit engine="kdtree" keeps the interval-stack reference engine.
+    r = Renderer(scene, BuildConfig(builder="kdtree"),
+                 RenderConfig(width=8, height=8, engine="kdtree"))
     assert r.engine == "kdtree"

@@ -16,9 +16,21 @@ from ntrace_tpu.render import render_frame
 from ntrace_tpu.scenes import get_scene
 
 # The five modes under regression. Cross-run determinism and cross-builder
-# identity are asserted (robust to backend fma differences); absolute
-# per-backend hashes can be pinned once a TPU CI lane exists.
+# identity are asserted, AND absolute checksums are pinned for the CPU test
+# backend so a coordinated raygen+shading change cannot drift silently.
 MODES = ["primary", "shadow", "ao", "diffuse", "path"]
+
+# Pinned frame checksums (CPU backend, the fixture config below). Update
+# procedure: render the mode, inspect the PNG BY EYE (scripts or /verify
+# recipe), then paste the new hash and state the cause in the commit
+# message. Never update to silence a failure you cannot explain.
+PINNED = {
+    "primary": "29e369c0b6aaa228",
+    "shadow": "13adf4e2886fdcad",
+    "ao": "640e8cb8ba8fca43",
+    "diffuse": "5170e6d109890909",
+    "path": "89ddeb1681df19dc",
+}
 
 
 @pytest.fixture(scope="module")
@@ -40,6 +52,14 @@ def test_frames_are_deterministic(frames):
                        ao_radius=1.5, seed=7)
     again = render_frame(scene, cfg=cfg, build_cfg=BuildConfig(builder="median"))
     np.testing.assert_array_equal(frames["diffuse"].image, again.image)
+
+
+def test_pinned_checksums(frames):
+    """Absolute regression gate: any pixel change in any mode fails here."""
+    got = {m: checksum(f.image) for m, f in frames.items()}
+    assert got == PINNED, (
+        f"golden frames drifted: {got} != {PINNED} -- inspect renders by "
+        "eye before re-pinning (see PINNED docstring)")
 
 
 def test_modes_differ_from_each_other(frames):

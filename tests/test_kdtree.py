@@ -76,3 +76,45 @@ class TestKDTree:
         rb = render_frame(scene, cfg=RenderConfig(width=48, height=32))
         same = (rk.hit_tri == rb.hit_tri).mean()
         assert same > 0.998, f"agreement {same}"
+
+
+class TestKDCellBoxView:
+    """kd_to_flatbvh: the kd tree re-expressed as a BVH of cell boxes must
+    trace identically (the TPU fast path runs the packet engine over it)."""
+
+    def test_cellbox_golden_matches_brute(self, rng):
+        from ntrace_tpu.bvh.kdtree import kd_to_flatbvh
+        from ntrace_tpu.trace.cpu import trace_cpu_golden
+
+        scene = make_random_soup(n_tris=1200, seed=23)
+        kd = build_kdtree(scene, BuildConfig(builder="kdtree"))
+        flat = kd_to_flatbvh(kd)
+        o, d, tn, tx = random_rays(rng, 800)
+        rec = trace_cpu_golden(flat, o, d, tn, tx)
+        brute = brute_force_mt(scene, o, d, tn, tx)
+        # Near-origin hits (|t| ~ 3e-3 in this soup) carry woop-vs-MT
+        # absolute epsilon above the default 2e-4 relative gate; ids match.
+        assert_hits_match_brute(rec, brute, t_rtol=5e-4)
+
+    def test_cellbox_packet_matches_interval_stack(self, rng):
+        from ntrace_tpu.bvh.kdtree import kd_to_flatbvh
+        from ntrace_tpu.bvh.packed import pack_bvh
+        from ntrace_tpu.trace.packet_pallas import trace_packet
+
+        scene = make_random_soup(n_tris=600, seed=29)
+        kd = build_kdtree(scene, BuildConfig(builder="kdtree"))
+        flat = kd_to_flatbvh(kd)
+        pk = pack_bvh(flat, scene.tri_verts())
+        o, d, tn, tx = random_rays(rng, 512)
+        got = trace_packet(jnp.asarray(pk.nodes8), jnp.asarray(pk.tris12),
+                           jnp.asarray(o), jnp.asarray(d), jnp.asarray(tn),
+                           jnp.asarray(tx), interpret=True)
+        ut, n_nodes = unify_tables(kd)
+        ref = trace_kd(jnp.asarray(ut), n_nodes, jnp.asarray(kd.root_lo),
+                       jnp.asarray(kd.root_hi), jnp.asarray(o),
+                       jnp.asarray(d), jnp.asarray(tn), jnp.asarray(tx),
+                       chunk=512)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        hit = np.asarray(ref[0]) >= 0
+        np.testing.assert_allclose(np.asarray(got[1])[hit],
+                                   np.asarray(ref[1])[hit], rtol=1e-5)
