@@ -57,32 +57,103 @@ def trace_sharded(mesh: Mesh, nodes, woop, tri_index, orig, dirn, tmin, tmax,
     return jax.jit(fn)(nodes, woop, tri_index, orig, dirn, tmin, tmax)
 
 
-def frame_step(nodes, woop, tri_index, geom_normals,
-               orig, dirn, tmin, tmax, light_pos, eps, axis=None):
+def _frame_body(tracer, geom_normals, orig, dirn, tmin, tmax,
+                light_pos, eps, axis=None):
     """Primary trace -> shadow any-hit -> shadow shading for one ray shard.
 
-    Pure function reused by both the sharded path (under shard_map) and the
-    single-device reference in tests. Shading composes the SAME helpers the
-    Renderer's shadow mode uses. `axis`: mesh axis name for the global hit
-    psum (None = single device).
+    `tracer(o, d, tn, tx, any_hit)` is ANY engine closed over its
+    (replicated) tables -- the frame structure is engine-agnostic. Shading
+    composes the SAME helpers the Renderer's shadow mode uses. `axis`: mesh
+    axis name for the global hit psum (None = single device).
     """
-    tri, t, u, v = trace_stack(nodes, woop, tri_index, orig, dirn, tmin, tmax)
+    tri, t, u, v = tracer(orig, dirn, tmin, tmax, False)
     hit = tri >= 0
     normals, _ = raygen.surface_frame(tri, dirn, geom_normals, 0.0)
     base_col = normal_color(geom_normals, tri)
     t_safe = jnp.where(hit, t, 0.0)
     hit_pos = orig + t_safe[:, None] * dirn
     sbatch = raygen.shadow(hit_pos, normals, light_pos, eps)
-    stri, *_ = trace_stack(
-        nodes, woop, tri_index, sbatch.orig, sbatch.dirn,
-        sbatch.tmin, jnp.where(hit, sbatch.tmax, 0.0), any_hit=True,
-    )
+    stri, *_ = tracer(sbatch.orig, sbatch.dirn, sbatch.tmin,
+                      jnp.where(hit, sbatch.tmax, 0.0), True)
     lit = (stri < 0).astype(jnp.float32)
     color = shadow_mix(base_col, lit)
     hits = hit.sum()
     if axis is not None:
         hits = jax.lax.psum(hits, axis)
     return color, hits
+
+
+def frame_step(nodes, woop, tri_index, geom_normals,
+               orig, dirn, tmin, tmax, light_pos, eps, axis=None):
+    """_frame_body with the v1 stack engine (kept as the simplest shape)."""
+    def tracer(o, d, tn, tx, ah):
+        return trace_stack(nodes, woop, tri_index, o, d, tn, tx, any_hit=ah)
+
+    return _frame_body(tracer, geom_normals, orig, dirn, tmin, tmax,
+                       light_pos, eps, axis)
+
+
+def trace_sharded_stack2(mesh: Mesh, ut, n_nodes, orig, dirn, tmin, tmax,
+                         any_hit: bool = False):
+    """The unified-table macro-step engine (stack2) under shard_map:
+    table replicated, rays sharded."""
+    from ntrace_tpu.trace.stack2_jax import trace_stack2
+
+    def body(ut, o, d, tn, tx):
+        return trace_stack2(ut, n_nodes, o, d, tn, tx, any_hit=any_hit)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("rays"), P("rays"), P("rays"), P("rays")),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(ut, orig, dirn, tmin, tmax)
+
+
+def trace_sharded_packet(mesh: Mesh, nodes8, tris12, orig, dirn, tmin, tmax,
+                         any_hit: bool = False, rows: int = 8,
+                         interpret: bool = False, **kw):
+    """The Pallas packet engine under shard_map: packed tables replicated,
+    rays sharded. On the virtual-CPU test mesh the kernel runs interpreted;
+    on a real TPU mesh it compiles per-chip Mosaic programs."""
+    from ntrace_tpu.trace.packet_pallas import trace_packet
+
+    def body(n8, t12, o, d, tn, tx):
+        return trace_packet(n8, t12, o, d, tn, tx, any_hit=any_hit,
+                            rows=rows, interpret=interpret, **kw)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P("rays"), P("rays")),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(nodes8, tris12, orig, dirn, tmin, tmax)
+
+
+def render_step_sharded_stack2(mesh: Mesh, ut, n_nodes, geom_normals,
+                               orig, dirn, tmin, tmax, light_pos, eps=1e-3):
+    """Full frame step (primary + shadow secondary + shading + stats psum)
+    on the stack2 engine, rays sharded over the mesh."""
+    from ntrace_tpu.trace.stack2_jax import trace_stack2
+
+    def step(ut, gn, o, d, tn, tx, light, eps_):
+        def tracer(o2, d2, tn2, tx2, ah):
+            return trace_stack2(ut, n_nodes, o2, d2, tn2, tx2, any_hit=ah)
+
+        return _frame_body(tracer, gn, o, d, tn, tx, light, eps_,
+                           axis="rays")
+
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
+                  P(), P()),
+        out_specs=(P("rays"), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(ut, geom_normals, orig, dirn, tmin, tmax,
+                       light_pos, jnp.float32(eps))
 
 
 def render_step_sharded(mesh: Mesh, nodes, woop, tri_index, geom_normals,

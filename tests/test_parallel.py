@@ -95,3 +95,69 @@ def test_frame_step_single_equals_sharded(soup_small, rng, mesh8):
     c8, h8 = render_step_sharded(mesh8, *args, eps=1e-3)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
     assert int(h1) == int(h8)
+
+
+def test_stack2_sharded_matches_single(soup_medium, rng, mesh8):
+    """Second engine under shard_map (round-3: multi-chip breadth)."""
+    from ntrace_tpu.parallel.mesh import trace_sharded_stack2
+    from ntrace_tpu.trace.stack2_jax import trace_stack2
+    from ntrace_tpu.trace.unified import unify_tables
+
+    flat = flatten_bvh(build_sbvh(soup_medium, BuildConfig(builder="binned_sah")),
+                       soup_medium)
+    ut, n_nodes = unify_tables(flat)
+    ut = jnp.asarray(ut)
+    orig, dirn, tmin, tmax = random_rays(rng, 2048)
+    args = (jnp.asarray(orig), jnp.asarray(dirn),
+            jnp.asarray(tmin), jnp.asarray(tmax))
+    sh = trace_sharded_stack2(mesh8, ut, n_nodes, *args)
+    single = trace_stack2(ut, n_nodes, *args)
+    for s, g in zip(sh, single):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
+
+
+def test_packet_sharded_matches_single(soup_small, rng, mesh8):
+    """The flagship Pallas packet engine under shard_map (interpret mode on
+    the virtual CPU mesh): sharded == single, bit-for-bit."""
+    from ntrace_tpu.bvh.packed import pack_bvh
+    from ntrace_tpu.parallel.mesh import trace_sharded_packet
+    from ntrace_tpu.trace.packet_pallas import trace_packet
+
+    flat = flatten_bvh(build_sbvh(soup_small, BuildConfig(builder="binned_sah")),
+                       soup_small)
+    pk = pack_bvh(flat, soup_small.tri_verts())
+    n8, t12 = jnp.asarray(pk.nodes8), jnp.asarray(pk.tris12)
+    orig, dirn, tmin, tmax = random_rays(rng, 1024)
+    args = (jnp.asarray(orig), jnp.asarray(dirn),
+            jnp.asarray(tmin), jnp.asarray(tmax))
+    sh = trace_sharded_packet(mesh8, n8, t12, *args, rows=8, interpret=True)
+    single = trace_packet(n8, t12, *args, rows=8, interpret=True)
+    for s, g in zip(sh, single):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
+
+
+def test_render_step_sharded_stack2_matches_renderer(soup_medium, mesh8):
+    """Full sharded frame (primary + shadow + shading + psum) on stack2
+    == the Renderer's shadow mode, pixel-exact."""
+    from ntrace_tpu.parallel.mesh import render_step_sharded_stack2
+
+    scene = soup_medium
+    W, H = 64, 48
+    cam = default_camera(scene.name)
+    cfg = RenderConfig(width=W, height=H, mode="shadow", engine="stack2")
+    renderer = Renderer(scene, BuildConfig(builder="binned_sah"), cfg)
+    ref = renderer.render(cam)
+
+    order, _ = pixel_table(W, H)
+    batch = raygen.primary(raygen.camera_arrays(cam, W, H), W, H,
+                           jnp.asarray(order))
+    light = jnp.asarray(renderer._default_light(cam), jnp.float32)
+    color, hits = render_step_sharded_stack2(
+        mesh8, renderer.ut_dev, renderer.ut_nodes, renderer.geom_normals,
+        batch.orig, batch.dirn, batch.tmin, batch.tmax, light,
+        eps=float(renderer.eps),
+    )
+    fb = jnp.zeros((W * H, 3), jnp.float32).at[batch.slot_to_id].set(color)
+    img = np.asarray(fb).reshape(H, W, 3)
+    np.testing.assert_array_equal(img, ref.image)
+    assert int(hits) == int((ref.hit_tri >= 0).sum())
