@@ -477,7 +477,13 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
             jnp.concatenate(
                 [prev[half:], jnp.full((half, 6), np.inf, jnp.float32)])))
     table = jnp.stack(tables)           # (logn+1, n, 6)
-    flat_tab = table.reshape(-1, 6)
+    # Gather locality: scatter/gather cost on this chip is index-locality
+    # dependent (85 vs 5 ns/row, PERF_NOTES.md "LBVH primitive findings").
+    # The query indices a / b-2^k1 are near-monotone in i, but the LEVEL
+    # k varies per row -- a (level, row) layout makes consecutive queries
+    # jump n-row strides. Interleave to (row, level) so consecutive
+    # queries touch consecutive memory.
+    flat_tab = jnp.stack(tables, axis=1).reshape((logn + 1) * n, 6)
 
     def k_of(sz):
         return jnp.minimum(31 - jax.lax.clz(jnp.maximum(sz, 1)), logn)
@@ -488,8 +494,9 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     # own-row position shifted by a per-k CONSTANT -> a 21-way select of
     # shifted slices instead of a 7 ns/row gather. Child1 covers [i, b):
     # T[k1][i] is a pure row select; T[k1][b - 2^k1] is a gather.
-    r1_0 = flat_tab[k0 * n + jnp.clip(a, 0, n - 1)]
-    r2_1 = flat_tab[k1 * n + jnp.clip(b - (1 << k1), 0, n - 1)]
+    L = logn + 1
+    r1_0 = flat_tab[jnp.clip(a, 0, n - 1) * L + k0]
+    r2_1 = flat_tab[jnp.clip(b - (1 << k1), 0, n - 1) * L + k1]
     dst_a = dst[jnp.clip(a, 0, n - 1)]  # gather: left-child run offsets
 
     enc0 = jnp.where(kept & lleaf, ~dst_a, 0)

@@ -233,6 +233,7 @@ class RenderConfig:
     light: tuple = (0.0, 0.0, 0.0)  # point light for shadow mode
     bounces: int = 2  # for mode="path"
     packet_rows: int = 8  # packet engine: sublanes per packet (rays = rows*128)
+    tex_filter: str = "trilinear"  # nearest | bilinear | trilinear (mipmapped)
 
 
 def config_replace(cfg, **kw):

@@ -143,7 +143,7 @@ def _load_obj_native(path: str | os.PathLike) -> Scene:
     from ntrace_tpu.native import native_obj_parse
 
     path = Path(path)
-    pos, nrm, faces, face_mat, names = native_obj_parse(path)
+    pos, nrm, faces, face_mat, names, texcoords, face_vt = native_obj_parse(path)
     materials = [Material(name=n) for n in names]
     lut = {n: i for i, n in enumerate(names)}
     # mtllib declarations live in the header; scan the first MB only so
@@ -157,13 +157,15 @@ def _load_obj_native(path: str | os.PathLike) -> Scene:
                     materials[lut[name]] = mat
     if nrm is not None and len(nrm) != len(pos):
         nrm = None
-    if any(m.texture for m in materials):
-        # The native scanner drops vt records; textured materials need
-        # per-corner UVs, so textured OBJs take the Python parser rather
-        # than silently rendering flat colors (round-1 VERDICT item 8).
-        raise NotImplementedError("native fast path has no vt support")
+    uvs = None
+    if texcoords is not None and face_vt is not None and len(texcoords):
+        # Same per-corner assembly as the Python parser: absent corners
+        # (vt index -1) get uv (0, 0).
+        uvs = np.where(face_vt[..., None] >= 0,
+                       texcoords[np.maximum(face_vt, 0)],
+                       0.0).astype(np.float32)
     return Scene(pos, faces, normals=nrm, mat_ids=face_mat,
-                 materials=materials, name=path.stem)
+                 materials=materials, name=path.stem, uvs=uvs)
 
 
 def save_obj(scene: Scene, path: str | os.PathLike) -> None:

@@ -39,6 +39,9 @@ class _ObjData(ctypes.Structure):
         ("mat_names", ctypes.c_char_p),
         ("mat_names_len", ctypes.c_int64),
         ("error", ctypes.c_char_p),
+        ("texcoords", ctypes.POINTER(ctypes.c_float)),
+        ("n_vt", ctypes.c_int64),
+        ("face_vt", ctypes.POINTER(ctypes.c_int32)),
     ]
 
 
@@ -76,8 +79,9 @@ def native_available() -> bool:
 
 def native_obj_parse(path: str):
     """Parse an OBJ natively. Returns (positions (V,3) f32, normals (N,3)
-    f32 | None, faces (M,3) i32, face_mat (M,) i32, mat_names list[str])
-    or raises RuntimeError."""
+    f32 | None, faces (M,3) i32, face_mat (M,) i32, mat_names list[str],
+    texcoords (T,2) f32 | None, face_vt (M,3) i32 | None) or raises
+    RuntimeError."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native parser unavailable")
@@ -99,6 +103,15 @@ def native_obj_parse(path: str):
             np_mat = np_mat[:0]
         if d.n_pos == 0:
             np_pos = np_pos[:0]
-        return np_pos[: d.n_pos], np_nrm, np_faces[: d.n_tris], np_mat[: d.n_tris], names
+        np_tc = (
+            np.ctypeslib.as_array(d.texcoords, shape=(d.n_vt, 2)).copy()
+            if d.n_vt else None
+        )
+        np_fvt = (
+            np.ctypeslib.as_array(d.face_vt, shape=(max(d.n_tris, 1), 3)).copy()[: d.n_tris]
+            if d.n_vt else None
+        )
+        return (np_pos[: d.n_pos], np_nrm, np_faces[: d.n_tris],
+                np_mat[: d.n_tris], names, np_tc, np_fvt)
     finally:
         lib.obj_free(ptr)

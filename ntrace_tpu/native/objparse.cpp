@@ -10,13 +10,16 @@
 // Python; this parser records usemtl switches as per-face material ids
 // plus the name table.
 //
-// Supported: v, vn, f with v / v/vt / v//vn / v/vt/vn forms, arbitrary
-// polygon fan triangulation, negative (relative) indices, usemtl/mtllib,
-// comments, \r\n. Unknown keywords are skipped.
+// Supported: v, vn, vt, f with v / v/vt / v//vn / v/vt/vn forms,
+// arbitrary polygon fan triangulation, negative (relative) indices,
+// usemtl/mtllib, comments, \r\n. Unknown keywords are skipped. Per-corner
+// vt indices are recorded (-1 where a corner has none) so textured OBJs
+// keep the native speed win (round-2 VERDICT: texture parity).
 //
 // Build: g++ -O3 -shared -fPIC objparse.cpp -o libobjparse.so (driven by
 // ntrace_tpu/native/build.py, cached by source hash).
 
+#include <climits>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -106,6 +109,9 @@ struct ObjData {
   char* mat_names;      // '\n'-joined material names in first-use order
   int64_t mat_names_len;
   char* error;          // non-null on failure
+  float* texcoords;     // 2 * n_vt
+  int64_t n_vt;
+  int32_t* face_vt;     // 3 * n_tris per-corner vt index, -1 if absent
 };
 
 void obj_free(ObjData* d) {
@@ -116,6 +122,8 @@ void obj_free(ObjData* d) {
   free(d->face_mat);
   free(d->mat_names);
   free(d->error);
+  free(d->texcoords);
+  free(d->face_vt);
   free(d);
 }
 
@@ -140,13 +148,14 @@ ObjData* obj_parse(const char* path) {
   data[size] = '\n';
 
   // Pass 1: count records (faces counted as fan triangles).
-  int64_t n_v = 0, n_vn = 0, n_tri = 0;
+  int64_t n_v = 0, n_vn = 0, n_vt = 0, n_tri = 0;
   {
     Buf b{data, data + size};
     while (b.p < b.end) {
       if (b.p[0] == 'v') {
         if (b.p + 1 < b.end && b.p[1] == ' ') ++n_v;
         else if (b.p + 2 < b.end && b.p[1] == 'n' && b.p[2] == ' ') ++n_vn;
+        else if (b.p + 2 < b.end && b.p[1] == 't' && b.p[2] == ' ') ++n_vt;
       } else if (b.p[0] == 'f' && b.p + 1 < b.end && b.p[1] == ' ') {
         // count vertices on the face line
         Buf l = b;
@@ -172,7 +181,10 @@ ObjData* obj_parse(const char* path) {
   out->normals = static_cast<float*>(malloc(sizeof(float) * 3 * (n_vn ? n_vn : 1)));
   out->faces = static_cast<int32_t*>(malloc(sizeof(int32_t) * 3 * (n_tri ? n_tri : 1)));
   out->face_mat = static_cast<int32_t*>(malloc(sizeof(int32_t) * (n_tri ? n_tri : 1)));
-  if (!out->positions || !out->normals || !out->faces || !out->face_mat) {
+  out->texcoords = static_cast<float*>(malloc(sizeof(float) * 2 * (n_vt ? n_vt : 1)));
+  out->face_vt = static_cast<int32_t*>(malloc(sizeof(int32_t) * 3 * (n_tri ? n_tri : 1)));
+  if (!out->positions || !out->normals || !out->faces || !out->face_mat ||
+      !out->texcoords || !out->face_vt) {
     free(data);
     out->error = strdup("out of memory");
     return out;
@@ -184,9 +196,11 @@ ObjData* obj_parse(const char* path) {
   mat_names.push_back("default");
 
   // Pass 2: fill.
-  int64_t iv = 0, ivn = 0, it = 0;
+  int64_t iv = 0, ivn = 0, ivt = 0, it = 0;
   std::vector<long> face_idx;
+  std::vector<long> face_vti;
   face_idx.reserve(16);
+  face_vti.reserve(16);
   Buf b{data, data + size};
   while (b.p < b.end) {
     if (b.p[0] == 'v' && b.p + 1 < b.end && b.p[1] == ' ') {
@@ -201,24 +215,40 @@ ObjData* obj_parse(const char* path) {
       out->normals[3 * ivn + 1] = parse_float(b);
       out->normals[3 * ivn + 2] = parse_float(b);
       ++ivn;
+    } else if (b.p[0] == 'v' && b.p + 2 < b.end && b.p[1] == 't' && b.p[2] == ' ') {
+      b.p += 3;
+      out->texcoords[2 * ivt + 0] = parse_float(b);
+      out->texcoords[2 * ivt + 1] = parse_float(b);
+      ++ivt;
     } else if (b.p[0] == 'f' && b.p + 1 < b.end && b.p[1] == ' ') {
       b.p += 2;
       face_idx.clear();
+      face_vti.clear();
       while (b.p < b.end && *b.p != '\n' && *b.p != '\r') {
         skip_ws(b);
         if (b.p >= b.end ||
             !(*b.p == '-' || (*b.p >= '0' && *b.p <= '9'))) break;
         long idx = parse_int(b);
-        // skip /vt and //vn or /vt/vn
+        long vti = LONG_MIN;  // absent
+        if (b.p < b.end && *b.p == '/') {
+          ++b.p;  // v/vt, v//vn, v/vt/vn
+          if (b.p < b.end && (*b.p == '-' || (*b.p >= '0' && *b.p <= '9')))
+            vti = parse_int(b);
+        }
+        // skip /vn tail (or any residue)
         while (b.p < b.end && *b.p != ' ' && *b.p != '\t' && *b.p != '\n'
                && *b.p != '\r') ++b.p;
-        long resolved = idx > 0 ? idx - 1 : iv + idx;
-        face_idx.push_back(resolved);
+        face_idx.push_back(idx > 0 ? idx - 1 : iv + idx);
+        face_vti.push_back(vti == LONG_MIN ? -1
+                           : (vti > 0 ? vti - 1 : ivt + vti));
       }
       for (size_t k = 1; k + 1 < face_idx.size(); ++k) {
         out->faces[3 * it + 0] = static_cast<int32_t>(face_idx[0]);
         out->faces[3 * it + 1] = static_cast<int32_t>(face_idx[k]);
         out->faces[3 * it + 2] = static_cast<int32_t>(face_idx[k + 1]);
+        out->face_vt[3 * it + 0] = static_cast<int32_t>(face_vti[0]);
+        out->face_vt[3 * it + 1] = static_cast<int32_t>(face_vti[k]);
+        out->face_vt[3 * it + 2] = static_cast<int32_t>(face_vti[k + 1]);
         out->face_mat[it] = cur_mat;
         ++it;
       }
@@ -243,6 +273,7 @@ ObjData* obj_parse(const char* path) {
 
   out->n_pos = iv;
   out->n_norm = ivn;
+  out->n_vt = ivt;
   out->n_tris = it;
   for (size_t i = 0; i < mat_names.size(); ++i) {
     if (i) mat_blob += '\n';

@@ -483,20 +483,39 @@ class Renderer:
         if mode == "primary":
             color = base_col
         elif mode == "textured":
-            from ntrace_tpu.render.texture import (
-                build_atlas, interpolate_uv, sample_atlas,
-            )
+            from ntrace_tpu.render import texture as tex
 
             if not hasattr(self, "_atlas"):
-                self._atlas = jax.device_put(
-                    jnp.asarray(build_atlas(self.scene.materials))
-                )
                 uvs = (self.scene.uvs if self.scene.uvs is not None
                        else np.zeros((self.scene.num_tris, 3, 2), np.float32))
                 self._uvs = jax.device_put(jnp.asarray(uvs))
-            uv = interpolate_uv(self._uvs, tri, u, v)
+                if cfg.tex_filter == "nearest":
+                    self._atlas = jax.device_put(
+                        jnp.asarray(tex.build_atlas(self.scene.materials)))
+                else:
+                    flat_mips, offs, sides = tex.build_mip_atlas(
+                        self.scene.materials)
+                    self._atlas = jax.device_put(jnp.asarray(flat_mips))
+                    self._mip_offs, self._mip_sides = offs, sides
+                    self._tex_density = jax.device_put(jnp.asarray(
+                        tex.tri_texel_density(uvs, self.scene.tri_verts(),
+                                              sides[0])))
+            uv = tex.interpolate_uv(self._uvs, tri, u, v)
             mat = self.mat_ids[jnp.maximum(tri, 0)]
-            albedo = sample_atlas(self._atlas, mat, uv)
+            if cfg.tex_filter == "nearest":
+                albedo = tex.sample_atlas(self._atlas, mat, uv)
+            elif cfg.tex_filter == "bilinear":
+                albedo = tex.sample_atlas_bilinear(
+                    self._atlas, self._mip_offs, self._mip_sides, mat, uv)
+            else:  # trilinear (mipmapped, ray-cone LOD)
+                pixel_angle = jnp.float32(
+                    np.radians(camera.fov_deg) / cfg.height)
+                ndotd_s = jnp.sum(normals * batch.dirn, axis=-1)
+                lod = tex.cone_lod(self._tex_density[jnp.maximum(tri, 0)],
+                                   t_safe, ndotd_s, pixel_angle)
+                albedo = tex.sample_atlas_trilinear(
+                    self._atlas, self._mip_offs, self._mip_sides, mat, uv,
+                    lod)
             ndotd = jnp.abs(jnp.sum(normals * batch.dirn, axis=-1))
             color = jnp.where(hit_mask[:, None],
                               albedo * (0.2 + 0.8 * ndotd)[:, None], 0.0)

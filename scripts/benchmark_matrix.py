@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Run the five BASELINE.json scene configs end-to-end on the current
-device and write results_matrix_r1.json (provenance for the committed
+device and write results_matrix_r3.json (provenance for the committed
 results). Serialize TPU use; run with nohup (PERF_NOTES.md metrology)."""
 import json
 import os
@@ -24,8 +24,14 @@ CONFIGS = [
      dict(max_leaf_size=32, sah_tri_cost=0.02), ["diffuse", "ao"], 4),
     ("hairball",   2_900_000,"lbvh",
      dict(max_leaf_size=32, sah_tri_cost=0.02), ["ao"], 4),
-    ("san_miguel", 10_000_000,"binned_sah",
+    # BASELINE config #5 demands the SBVH offline build (round-3: the
+    # builder is now tractable at 10M -- amortized ref growth + reduceat
+    # binning; built once and cached).
+    ("san_miguel", 10_000_000,"sbvh",
      dict(sah_tri_cost=0.02, max_leaf_size=48), ["path"], 1),
+    # kd-tree capability on the round-3 fast path (cell-box packet engine).
+    ("conference", 280_000,  "kdtree",
+     dict(max_leaf_size=16, sah_tri_cost=0.5), ["primary"], 4),
 ]
 results = []
 for name, n, builder, extra, modes, samples in CONFIGS:
@@ -58,6 +64,6 @@ for name, n, builder, extra, modes, samples in CONFIGS:
     except Exception as e:
         print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
         results.append(dict(scene=name, error=str(e)[:200]))
-with open('results_matrix_r2.json','w') as f:
+with open('results_matrix_r3.json','w') as f:
     json.dump(results, f, indent=2)
 print("MATRIX DONE", flush=True)

@@ -96,12 +96,13 @@ def make_kernel(level: str):
                 enc0 = row[0, 12].astype(jnp.int32)
                 return node + enc0 + 1, acc
             if level == "PDYN":
-                # P0 + a data-dependent LANE read from the loaded row
-                # (prices the baked-permutation-table trick: scalar reads
-                # at runtime-computed lanes).
+                # P0 + a data-dependent lane read, via pltpu.roll (direct
+                # dynamic lane indexing is unimplemented in Mosaic): prices
+                # the sign-baked ordered-candidate trick.
                 enc0 = row[0, 12].astype(jnp.int32)
                 j = jnp.bitwise_and(enc0 + k, 127)
-                dyn = row[0, j].astype(jnp.int32)
+                r2 = pltpu.roll(row, jnp.bitwise_and(128 - j, 127), axis=1)
+                dyn = r2[0, 0].astype(jnp.int32)
                 return node + enc0 + jnp.bitwise_and(dyn, 1) + 1, acc
             rec = pltpu.roll(row, jnp.bitwise_and(128 - 16 * jnp.bitwise_and(node, 7), 127), axis=1)
             if level == "P1":

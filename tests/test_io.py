@@ -95,6 +95,40 @@ class TestNativeParser:
         np.testing.assert_array_equal(nat.indices, py.indices)
         np.testing.assert_array_equal(nat.mat_ids, py.mat_ids)
 
+    def test_native_vt_matches_python(self, tmp_path):
+        """Native parser carries per-corner UVs (round-2 VERDICT: textured
+        OBJs must keep the native fast path)."""
+        from ntrace_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("no g++ toolchain")
+        from ntrace_tpu.io.obj import _load_obj_native
+
+        p = tmp_path / "tex.obj"
+        p.write_text(
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+            "vt 0 0\nvt 1 0\nvt 1 1\nvt 0.25 0.75\n"
+            "vn 0 0 1\n"
+            # quad with v/vt and v/vt/vn forms + a negative-index tri
+            "f 1/1 2/2 3/3 4/4\n"
+            "f 1/1/1 3/3/1 4/4/1\n"
+            "f -4/-4 -2/-2 -1/-1\n"
+        )
+        py = load_obj(p, prefer_native=False)
+        nat = _load_obj_native(p)
+        np.testing.assert_array_equal(nat.indices, py.indices)
+        assert py.uvs is not None and nat.uvs is not None
+        np.testing.assert_allclose(nat.uvs, py.uvs, rtol=1e-6)
+        # mixed vt/no-vt corners: absent corners read (0,0)
+        p2 = tmp_path / "mixed.obj"
+        p2.write_text(
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nvt 0.5 0.5\n"
+            "f 1/1 2 3\n"
+        )
+        nat2 = _load_obj_native(p2)
+        py2 = load_obj(p2, prefer_native=False)
+        np.testing.assert_allclose(nat2.uvs, py2.uvs, rtol=1e-6)
+
     def test_native_index_forms(self, obj_file):
         from ntrace_tpu.native import native_available
 
