@@ -132,6 +132,30 @@ class _Builder:
                 best = (float(sah[k]), axis, b <= k)
         return best
 
+    def _object_split_sweep(self, lo, hi, cent, cfg):
+        """Full-sweep SAH object split (SURVEY SS3.2: the reference's
+        SplitBVHBuilder sorts refs per axis and evaluates EVERY split
+        position). Exact counterpart of _object_split's contract:
+        (sah, axis, mask_left) or (inf, -1, None)."""
+        n = len(lo)
+        best = (np.inf, -1, None)
+        for axis in range(3):
+            order = np.argsort(cent[:, axis], kind="stable")
+            slo, shi = lo[order], hi[order]
+            lmin = np.minimum.accumulate(slo, axis=0)
+            lmax = np.maximum.accumulate(shi, axis=0)
+            rmin = np.minimum.accumulate(slo[::-1], axis=0)[::-1]
+            rmax = np.maximum.accumulate(shi[::-1], axis=0)[::-1]
+            cnt = np.arange(1, n)
+            sah = (cnt * _area(lmin[:-1], lmax[:-1])
+                   + (n - cnt) * _area(rmin[1:], rmax[1:]))
+            k = int(np.argmin(sah))
+            if sah[k] < best[0]:
+                mask = np.zeros(n, bool)
+                mask[order[:k + 1]] = True
+                best = (float(sah[k]), axis, mask)
+        return best
+
     def _spatial_split(self, node_lo, node_hi, lo, hi, cfg):
         """Best binned spatial split (Stich). Returns
         (sah, axis, plane) or (inf, -1, 0)."""
@@ -199,7 +223,10 @@ class _Builder:
             return self._leaf(idx)
 
         cent = (lo + hi) * 0.5
-        osah, oaxis, omask = self._object_split(lo, hi, cent, cfg)
+        if cfg.object_sweep:
+            osah, oaxis, omask = self._object_split_sweep(lo, hi, cent, cfg)
+        else:
+            osah, oaxis, omask = self._object_split(lo, hi, cent, cfg)
 
         ssah, saxis, splane = np.inf, -1, 0.0
         if self.spatial and oaxis >= 0 and omask is not None:

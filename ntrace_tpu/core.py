@@ -212,6 +212,9 @@ class BuildConfig:
     sbvh_unsplit: bool = True  # Stich 2009 reference unsplitting
     num_spatial_bins: int = 128
     num_object_bins: int = 32
+    object_sweep: bool = False  # full-sweep SAH object splits (reference
+    #                             SplitBVHBuilder exactness; binned is the
+    #                             measured-equal fast default)
     morton_bits: int = 30  # 10 per axis, as in the reference HLBVH path
     hlbvh_top_bits: int = 9  # treelet split: top 3 bits per axis
 

@@ -46,7 +46,8 @@ def accel_cache_key(scene: Scene, cfg: BuildConfig) -> str:
         f"{cfg.builder}|{cfg.max_leaf_size}|{cfg.min_leaf_size}|{cfg.max_depth}"
         f"|{cfg.sbvh_alpha}|{cfg.num_spatial_bins}|{cfg.num_object_bins}"
         f"|{cfg.morton_bits}|{cfg.hlbvh_top_bits}"
-        f"|{cfg.sah_node_cost}|{cfg.sah_tri_cost}|{cfg.sbvh_unsplit}|v5"
+        f"|{cfg.sah_node_cost}|{cfg.sah_tri_cost}|{cfg.sbvh_unsplit}"
+        f"|{cfg.object_sweep}|v6"
     )
     return hashlib.sha1((scene_hash(scene) + cfg_sig).encode()).hexdigest()[:16]
 

@@ -78,3 +78,32 @@ def test_results_matrix_covers_baseline_scenes():
         if not any(key in s for s in scenes):
             missing.add(w)
     assert not missing, f"matrix lost baseline scenes: {missing}"
+
+
+@pytest.mark.perf
+def test_matrix_no_cross_round_regression():
+    """Per-scene, per-mode gate: the newest results matrix must keep every
+    mrays number at >= TOLERANCE x the best prior round for the same
+    (scene, mode) (round-2 VERDICT: the headline-only gate was toothless).
+    Entries new in the latest round (no prior) pass vacuously."""
+    paths = sorted(glob.glob(os.path.join(ROOT, "results_matrix_r*.json")))
+    if len(paths) < 2:
+        pytest.skip("fewer than two recorded matrices")
+
+    def load(p):
+        rows = json.load(open(p))
+        out = {}
+        for r in (rows if isinstance(rows, list) else rows.get("runs", [])):
+            for k, v in r.items():
+                if k.startswith("mrays") and isinstance(v, (int, float)):
+                    out[(r.get("scene"), r.get("mode"), k)] = float(v)
+        return out
+
+    prior = {}
+    for p in paths[:-1]:
+        for key, v in load(p).items():
+            prior[key] = max(prior.get(key, 0.0), v)
+    latest = load(paths[-1])
+    bad = {k: (v, prior[k]) for k, v in latest.items()
+           if k in prior and v < TOLERANCE * prior[k]}
+    assert not bad, f"matrix regressions (latest, best prior): {bad}"

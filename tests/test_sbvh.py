@@ -105,3 +105,36 @@ def test_unsplitting_reduces_duplication(soup_medium):
     rec = trace_cpu_golden(flat, o, d, tn, tx)
     ref = brute_force_mt(soup_medium, o, d, tn, tx)
     np.testing.assert_array_equal(rec.tri, ref.tri)
+
+
+class TestSweepObjectSAH:
+    """Full-sweep SAH object splits (reference SplitBVHBuilder behavior)
+    vs the binned default: the round-2 'within ~1%' claim, measured."""
+
+    def test_sweep_quality_vs_binned(self):
+        for seed in (3, 17, 41):
+            scene = make_random_soup(n_tris=2500, seed=seed)
+            cb = build_sbvh(scene, BuildConfig(builder="binned_sah"))
+            cs = build_sbvh(scene, BuildConfig(builder="binned_sah",
+                                               object_sweep=True))
+            sb, ss = cb.sah_cost(), cs.sah_cost()
+            # Exact sweep must not be materially worse than binned...
+            assert ss <= sb * 1.02, (seed, sb, ss)
+            # ...and 32-bin SAH must sit within a few % of exact.
+            assert sb <= ss * 1.05, (seed, sb, ss)
+
+    def test_sweep_traversal_matches_brute(self, rng):
+        from ntrace_tpu.bvh.flatten import flatten_bvh
+        from ntrace_tpu.bvh.golden import brute_force_mt
+        from ntrace_tpu.trace.cpu import trace_cpu_golden
+        from tests.conftest import random_rays
+        from tests.test_bvh import assert_hits_match_brute
+
+        scene = make_random_soup(n_tris=1500, seed=9)
+        bvh = build_sbvh(scene, BuildConfig(builder="sbvh",
+                                            object_sweep=True))
+        bvh.validate(scene.num_tris)
+        flat = flatten_bvh(bvh, scene)
+        o, d, tn, tx = random_rays(rng, 800)
+        rec = trace_cpu_golden(flat, o, d, tn, tx)
+        assert_hits_match_brute(rec, brute_force_mt(scene, o, d, tn, tx))
