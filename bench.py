@@ -87,7 +87,6 @@ def main():
     batch = raygen.primary(raygen.camera_arrays(cam, width, height),
                            width, height, jnp.asarray(order_px))
     R = batch.num_rays
-    tracer = r._tracer
 
     def chained(k):
         @jax.jit
@@ -95,7 +94,10 @@ def main():
             acc = jnp.float32(0)
             tn2 = tn
             for _ in range(k):
-                tri, t, u, v = tracer(o, d, tn2, tx, False)
+                # The renderer's primary path (depth-prepass tmax seeding
+                # with exact fixup on packet engines) -- the headline
+                # measures what render() actually runs.
+                tri, t, u, v = r.trace_primary(o, d, tn2, tx)
                 acc = acc + jnp.where(tri >= 0, t, 0.0).sum()
                 tn2 = tn + 1e-12 * acc   # serialize the frames
             return acc, tri

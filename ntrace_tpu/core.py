@@ -237,6 +237,9 @@ class RenderConfig:
     bounces: int = 2  # for mode="path"
     packet_rows: int = 8  # packet engine: sublanes per packet (rays = rows*128)
     tex_filter: str = "trilinear"  # nearest | bilinear | trilinear (mipmapped)
+    seed_primary: str = "auto"  # depth-prepass tmax seeding for primary rays
+    #                             (exact; render/renderer.py seeded_closest_
+    #                             trace): "auto" = packet engines | "on" | "off"
 
 
 def config_replace(cfg, **kw):

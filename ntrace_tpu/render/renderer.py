@@ -103,6 +103,40 @@ def shadow_mix(base_col, lit):
     return base_col * (0.25 + 0.75 * lit)[:, None]
 
 
+def seeded_closest_trace(tracer, orig, dirn, tmin, tmax, *, stride=16,
+                         window=2, slack=np.float32(1.05)):
+    """Closest-hit trace with a depth-prepass tmax seed + EXACT fixup.
+
+    Pixel-Morton ray order makes every `stride` consecutive slots a screen
+    tile; tracing one ray per tile (pass 0) and seeding each tile's tmax
+    with a windowed max of neighbouring prepass depths lets the main pass
+    traverse with a tight per-ray [tmin, seed] segment -- the hitT culling
+    that normally only develops late in traversal is available from step
+    one. Rays that report a miss under a BINDING seed are retraced with
+    their original tmax (pass 2, everyone else dead-marked), so results
+    are exactly those of a plain trace: a hit under a smaller tmax is the
+    true closest hit, and any true hit beyond the seed is recovered by the
+    fixup. The seed heuristic affects only speed, never the image.
+    """
+    R = orig.shape[0]
+    pre = tracer(orig[::stride], dirn[::stride], tmin[::stride],
+                 tmax[::stride], False)
+    pt = jnp.where(pre[0] >= 0, pre[1], jnp.float32(np.inf))
+    wmax = pt
+    for s in range(1, window + 1):
+        wmax = jnp.maximum(wmax, jnp.roll(pt, s))
+        wmax = jnp.maximum(wmax, jnp.roll(pt, -s))
+    seed = jnp.repeat(wmax * slack, stride, total_repeat_length=pt.shape[0] * stride)[:R]
+    tx1 = jnp.minimum(jnp.where(jnp.isfinite(seed), seed, tmax), tmax)
+    tri1, t1, u1, v1 = tracer(orig, dirn, tmin, tx1, False)
+    need = (tri1 < 0) & (tx1 < tmax)
+    tx2 = jnp.where(need, tmax, tmin)   # non-fixup rays are dead lanes
+    tri2, t2, u2, v2 = tracer(orig, dirn, tmin, tx2, False)
+    return tuple(
+        jnp.where(need, b, a)
+        for a, b in zip((tri1, t1, u1, v1), (tri2, t2, u2, v2)))
+
+
 def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
     """Loop the tracer over <=cap-ray chunks (the in-flight ray cap).
 
@@ -437,6 +471,19 @@ class Renderer:
 
         return _tracer
 
+    def trace_primary(self, orig, dirn, tmin, tmax):
+        """Primary-ray closest-hit trace with the configured seeding policy
+        (shared by render() and bench.py so the headline measures the same
+        path users get)."""
+        sp = self.cfg.seed_primary
+        use_seed = sp == "on" or (sp == "auto"
+                                  and self.engine.startswith("packet"))
+        if use_seed and orig.shape[0] <= self._cap() \
+                and orig.shape[0] >= 16 * 4:
+            return seeded_closest_trace(self._tracer, orig, dirn, tmin, tmax)
+        batch = RayBatch(orig, dirn, tmin, tmax)
+        return _trace_batched(self._tracer, batch, self._cap(), False)
+
     def _cap(self):
         """Per-dispatch ray cap: the persistent stack2 tracer chunks
         internally, so it takes whole batches (up to a 4M safety cap)."""
@@ -467,9 +514,8 @@ class Renderer:
             batch = raygen.primary(cam, W, H, jnp.asarray(order))
             jax.block_until_ready(batch.dirn)
         with timer.stage("trace_primary"):
-            tri, t, u, v = _trace_batched(
-                self._tracer, batch, self._cap(), False
-            )
+            tri, t, u, v = self.trace_primary(
+                batch.orig, batch.dirn, batch.tmin, batch.tmax)
             jax.block_until_ready(t)
         timer.count("rays_primary", batch.num_rays)
 

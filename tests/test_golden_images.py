@@ -75,3 +75,18 @@ def test_builders_pixel_identical(frames):
     for builder in ["lbvh", "hlbvh", "binned_sah", "sbvh"]:
         r = render_frame(scene, cfg=cfg, build_cfg=BuildConfig(builder=builder))
         assert checksum(r.image) == base, f"{builder} frame differs"
+
+
+def test_seeded_primary_is_exact():
+    """Depth-prepass tmax seeding (seeded_closest_trace) must be invisible:
+    seed on vs off, pixel-identical (exactness comes from the fixup pass,
+    not the seed heuristic)."""
+    scene = get_scene("conference", n_tris=4000)
+    base = dict(width=64, height=48, mode="primary", engine="stack2")
+    off = render_frame(scene, cfg=RenderConfig(**base, seed_primary="off"),
+                       build_cfg=BuildConfig(builder="binned_sah"))
+    on = render_frame(scene, cfg=RenderConfig(**base, seed_primary="on"),
+                      build_cfg=BuildConfig(builder="binned_sah"))
+    np.testing.assert_array_equal(on.image, off.image)
+    np.testing.assert_array_equal(on.hit_tri, off.hit_tri)
+    np.testing.assert_array_equal(on.hit_t, off.hit_t)
