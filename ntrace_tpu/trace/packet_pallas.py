@@ -96,7 +96,8 @@ def _slab_child(rec, base, ox, oy, oz, ix, iy, iz, tmin, tmax):
 def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                  order: str = "mins", light: bool = False, ilv: int = 1,
                  probe: str = "none", tpr: int = TRIS_PER_ROW,
-                 npr: int = NODES_PER_ROW, lu: int = 1):
+                 npr: int = NODES_PER_ROW, lu: int = 1,
+                 anyred: str = "sum"):
     """Build the packet kernel body.
 
     ilv > 1 interleaves that many INDEPENDENT packets (each with its own
@@ -246,6 +247,25 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                 any0 = (n0 < INF) & active
                 any1 = (n1 < INF) & active
                 first0 = n0 <= n1
+            elif anyred == "or":
+                # any-hit via a bitwise-OR roll tree + one plain lane
+                # extract: candidates for replacing jnp.sum's cross-lane
+                # reduce (+115 ns of the step's serial chain -- likely the
+                # vector->scalar boundary of the reduction instruction).
+                m = h0.astype(jnp.int32) | (h1.astype(jnp.int32) << 1)
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    m = m | pltpu.roll(m, sh, axis=1)
+                sh = 1
+                while sh < rows:
+                    m = m | pltpu.roll(m, sh, axis=0)
+                    sh *= 2
+                bits = m[0, 0]
+                any0 = ((bits & 1) > 0) & active
+                any1 = ((bits & 2) > 0) & active
+                code = rec[0, 14].astype(jnp.int32)
+                first0 = (jnp.bitwise_and(
+                    jax.lax.shift_right_logical(signs[s], code >> 1), 1
+                ) == jnp.bitwise_and(code, 1))
             else:
                 # One reduce yields both children's any-hit flags
                 # (bit-packed; lane count < 2**16 keeps the fields apart),
@@ -361,7 +381,8 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit", "stats",
                      "order", "light", "interleave", "probe",
-                     "tris_per_row", "nodes_per_row", "leaf_unroll"),
+                     "tris_per_row", "nodes_per_row", "leaf_unroll",
+                     "anyred"),
 )
 def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  any_hit: bool = False, rows: int = 8,
@@ -369,7 +390,8 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  stats: bool = False, order: str = "mins",
                  light: bool = False, interleave: int = 1,
                  probe: str = "none", tris_per_row: int = TRIS_PER_ROW,
-                 nodes_per_row: int = NODES_PER_ROW, leaf_unroll: int = 1):
+                 nodes_per_row: int = NODES_PER_ROW, leaf_unroll: int = 1,
+                 anyred: str = "sum"):
     """Trace rays through a PackedBVH with the packet kernel.
 
     nodes8/tris12: device arrays of bvh/packed.py layout.
@@ -441,7 +463,7 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
         )
     outs = pl.pallas_call(
         _make_kernel(rows, any_hit, stats, order, light, ilv, probe,
-                     tris_per_row, nodes_per_row, leaf_unroll),
+                     tris_per_row, nodes_per_row, leaf_unroll, anyred),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=out_specs,
