@@ -57,15 +57,27 @@ def load_accel(scene: Scene, cfg: BuildConfig) -> FlatBVH | None:
     if not p.exists():
         return None
     z = np.load(p)
+    if "root_lo" in z:  # kd-tree accel (distinct dataclass + extra fields)
+        from ntrace_tpu.bvh.kdtree import FlatKDTree
+
+        return FlatKDTree(
+            nodes=z["nodes"], woop=z["woop"], tri_index=z["tri_index"],
+            root_lo=z["root_lo"], root_hi=z["root_hi"],
+            num_tris=int(z["num_tris"]),
+        )
     return FlatBVH(
         nodes=z["nodes"], woop=z["woop"], tri_index=z["tri_index"],
         num_tris=int(z["num_tris"]), sah_cost=float(z["sah_cost"]),
     )
 
 
-def save_accel(scene: Scene, cfg: BuildConfig, flat: FlatBVH) -> None:
+def save_accel(scene: Scene, cfg: BuildConfig, flat) -> None:
     p = cache_dir() / f"accel_{accel_cache_key(scene, cfg)}.npz"
     tmp = p.with_suffix(".tmp.npz")
+    extra = {}
+    if hasattr(flat, "root_lo"):  # FlatKDTree
+        extra = dict(root_lo=flat.root_lo, root_hi=flat.root_hi)
     np.savez(tmp, nodes=flat.nodes, woop=flat.woop, tri_index=flat.tri_index,
-             num_tris=flat.num_tris, sah_cost=flat.sah_cost)
+             num_tris=flat.num_tris,
+             sah_cost=getattr(flat, "sah_cost", 0.0), **extra)
     os.replace(tmp, p)
