@@ -339,9 +339,9 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
                 n_clusters=ordinal[-1] + 1)
 
 
-@partial(jax.jit, static_argnames=("max_leaf",))
+@partial(jax.jit, static_argnames=("max_leaf", "_ablate"))
 def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
-                     max_leaf=4):
+                     max_leaf=4, _ablate: str = ""):
     """Single-pass LBVH emission: the <50 ms/Mtri path.
 
     The 30-level radix sweep (lbvh_device above, kept for the HLBVH forest
@@ -404,25 +404,35 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     #   NSR(i) = nearest j > i with D[j] <  D[i]
     # packed = (pos << 5) | (D + 1): cummax/cummin by position, the delta
     # of the argmax rides along in the low bits.
+    if _ablate == "scans":   # WRONG tree: prices the (31,n) ANSV scans
+        nsl = jnp.maximum(iota - 1, 0) << 5 | 1
+        nsr = jnp.minimum(iota + 1, n) << 5 | 1
     C = 31
     cs = jnp.arange(C, dtype=jnp.int32)[:, None]
     packed = (iota << 5) | (D + 1)
     big = (jnp.int32(n) << 5) | 31
-    P = jax.lax.cummax(
-        jnp.where(D[None, :] <= cs, packed[None, :], -1), axis=1)
+    if _ablate == "scans":
+        P = jnp.broadcast_to(packed[None, :], (C, n))
+    else:
+        P = jax.lax.cummax(
+            jnp.where(D[None, :] <= cs, packed[None, :], -1), axis=1)
     Ps = jnp.concatenate(
         [jnp.full((C, 1), -1, jnp.int32), P[:, :-1]], axis=1)
-    Q = jax.lax.cummin(
-        jnp.where(D[None, :] < cs, packed[None, :], big), axis=1,
-        reverse=True)
+    if _ablate == "scans":
+        Q = jnp.broadcast_to(packed[None, :], (C, n))
+    else:
+        Q = jax.lax.cummin(
+            jnp.where(D[None, :] < cs, packed[None, :], big), axis=1,
+            reverse=True)
     Qs = jnp.concatenate(
         [Q[:, 1:], jnp.full((C, 1), big, jnp.int32)], axis=1)
-    nsl = Ps[0]
-    nsr = Qs[0]
-    for c in range(1, C):
-        m = D == c
-        nsl = jnp.where(m, Ps[c], nsl)
-        nsr = jnp.where(m, Qs[c], nsr)
+    if _ablate != "scans":
+        nsl = Ps[0]
+        nsr = Qs[0]
+        for c in range(1, C):
+            m = D == c
+            nsl = jnp.where(m, Ps[c], nsl)
+            nsr = jnp.where(m, Qs[c], nsr)
     a = jax.lax.shift_right_logical(nsl, 5)   # range start row (0 if none)
     dl = (nsl & 31) - 1
     b = jax.lax.shift_right_logical(nsr, 5)   # range end row (n if none)
@@ -468,8 +478,13 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     # Child AABBs: sparse range-min table over sorted tri AABBs.
     packedb = jnp.concatenate([slo, -shi], axis=1)
     logn = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    if _ablate == "bounds":  # WRONG boxes: prices table+selects+gathers
+        dst_a = dst[jnp.clip(a, 0, n - 1)]
+        z6 = packedb
+        m0 = z6
+        m1 = z6
     tables = [packedb]
-    for k in range(1, logn + 1):
+    for k in range(1, (logn + 1) if _ablate != "bounds" else 1):
         half = 1 << (k - 1)
         prev = tables[-1]
         tables.append(jnp.minimum(
@@ -477,13 +492,10 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
             jnp.concatenate(
                 [prev[half:], jnp.full((half, 6), np.inf, jnp.float32)])))
     table = jnp.stack(tables)           # (logn+1, n, 6)
-    # Gather locality: scatter/gather cost on this chip is index-locality
-    # dependent (85 vs 5 ns/row, PERF_NOTES.md "LBVH primitive findings").
-    # The query indices a / b-2^k1 are near-monotone in i, but the LEVEL
-    # k varies per row -- a (level, row) layout makes consecutive queries
-    # jump n-row strides. Interleave to (row, level) so consecutive
-    # queries touch consecutive memory.
-    flat_tab = jnp.stack(tables, axis=1).reshape((logn + 1) * n, 6)
+    # (A (row, level)-interleaved copy for gather locality was MEASURED 3x
+    # SLOWER overall -- the strided interleave write of the 500 MB table
+    # dwarfs any gather-locality win; results_r3_sweep.json round 3.)
+    flat_tab = table.reshape(-1, 6)
 
     def k_of(sz):
         return jnp.minimum(31 - jax.lax.clz(jnp.maximum(sz, 1)), logn)
@@ -494,10 +506,10 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     # own-row position shifted by a per-k CONSTANT -> a 21-way select of
     # shifted slices instead of a 7 ns/row gather. Child1 covers [i, b):
     # T[k1][i] is a pure row select; T[k1][b - 2^k1] is a gather.
-    L = logn + 1
-    r1_0 = flat_tab[jnp.clip(a, 0, n - 1) * L + k0]
-    r2_1 = flat_tab[jnp.clip(b - (1 << k1), 0, n - 1) * L + k1]
-    dst_a = dst[jnp.clip(a, 0, n - 1)]  # gather: left-child run offsets
+    if _ablate != "bounds":
+        r1_0 = flat_tab[k0 * n + jnp.clip(a, 0, n - 1)]
+        r2_1 = flat_tab[k1 * n + jnp.clip(b - (1 << k1), 0, n - 1)]
+        dst_a = dst[jnp.clip(a, 0, n - 1)]  # gather: left-child run offsets
 
     enc0 = jnp.where(kept & lleaf, ~dst_a, 0)
     enc1 = jnp.where(kept & rleaf, ~dst, 0)
@@ -506,21 +518,22 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     flat_t = jnp.where(kept & (~root_f), parent * 2 + side, 2 * n)
     enc = enc.reshape(-1).at[flat_t].set(
         iota, mode="drop", unique_indices=True).reshape(n, 2)
-    r2_0 = table[0]
-    r1_1 = table[0]
-    for k in range(1, logn + 1):
-        sh = 1 << k
-        shifted = jnp.concatenate(
-            [jnp.full((min(sh, n), 6), np.inf, jnp.float32),
-             table[k][:max(n - sh, 0)]])
-        r2_0 = jnp.where((k0 == k)[:, None], shifted, r2_0)
-        r1_1 = jnp.where((k1 == k)[:, None], table[k], r1_1)
-    # k == 0 shift is 2^0 = 1:
-    sh0 = jnp.concatenate(
-        [jnp.full((1, 6), np.inf, jnp.float32), table[0][:n - 1]])
-    r2_0 = jnp.where((k0 == 0)[:, None], sh0, r2_0)
-    m0 = jnp.minimum(r1_0, r2_0)
-    m1 = jnp.minimum(r1_1, r2_1)
+    if _ablate != "bounds":
+        r2_0 = table[0]
+        r1_1 = table[0]
+        for k in range(1, logn + 1):
+            sh = 1 << k
+            shifted = jnp.concatenate(
+                [jnp.full((min(sh, n), 6), np.inf, jnp.float32),
+                 table[k][:max(n - sh, 0)]])
+            r2_0 = jnp.where((k0 == k)[:, None], shifted, r2_0)
+            r1_1 = jnp.where((k1 == k)[:, None], table[k], r1_1)
+        # k == 0 shift is 2^0 = 1:
+        sh0 = jnp.concatenate(
+            [jnp.full((1, 6), np.inf, jnp.float32), table[0][:n - 1]])
+        r2_0 = jnp.where((k0 == 0)[:, None], sh0, r2_0)
+        m0 = jnp.minimum(r1_0, r2_0)
+        m1 = jnp.minimum(r1_1, r2_1)
     lo0, hi0 = m0[:, 0:3], -m0[:, 3:6]
     lo1, hi1 = m1[:, 0:3], -m1[:, 3:6]
 
@@ -556,7 +569,8 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     wout = jnp.tile(init_row[None, :], (wcap, 1))
     payload13 = jnp.concatenate(
         [w, order.astype(jnp.float32)[:, None]], axis=1)
-    wout = wout.at[dst].set(payload13, mode="drop", unique_indices=True)
+    if _ablate != "scatter":
+        wout = wout.at[dst].set(payload13, mode="drop", unique_indices=True)
     woop = wout[:, :12]
     tri_index = wout[:, 12].astype(jnp.int32)
 

@@ -237,9 +237,13 @@ class RenderConfig:
     bounces: int = 2  # for mode="path"
     packet_rows: int = 8  # packet engine: sublanes per packet (rays = rows*128)
     tex_filter: str = "trilinear"  # nearest | bilinear | trilinear (mipmapped)
-    seed_primary: str = "auto"  # depth-prepass tmax seeding for primary rays
-    #                             (exact; render/renderer.py seeded_closest_
-    #                             trace): "auto" = packet engines | "on" | "off"
+    seed_primary: str = "off"  # depth-prepass tmax seeding for primary rays
+    #                            (exact; render/renderer.py seeded_closest_
+    #                            trace). MEASURED 1.9x SLOWER on conference
+    #                            primary (results_r3_sweep.json: the strided
+    #                            prepass packets are incoherent and traversal
+    #                            is not tmax-bound) -- kept as an exact,
+    #                            tested option: "on" | "auto" (packet) | "off"
 
 
 def config_replace(cfg, **kw):
