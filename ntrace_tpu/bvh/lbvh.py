@@ -394,6 +394,20 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     shi = jnp.stack(sorted_ops[5:8], axis=1)
     tv_s = jnp.stack(sorted_ops[8:17], axis=1).reshape(n, 3, 3)
 
+    def _early(live):
+        """Prefix-ablation return: everything computed so far stays live
+        through `live`; downstream is dead code. Results WRONG by design."""
+        return dict(
+            nodes=jnp.zeros((n, 16), jnp.float32).at[0, 0].set(live),
+            woop=jnp.zeros((2 * n, 12), jnp.float32),
+            tri_index=jnp.zeros((2 * n,), jnp.int32),
+            kept=jnp.zeros((n,), jnp.bool_), root=jnp.int32(0),
+            node_count=jnp.int32(0), leaf_count=jnp.int32(0), order=order)
+
+    if _ablate == "ret_sort":
+        return _early(codes.sum().astype(jnp.float32) * 1e-9 + slo.sum()
+                      + shi.sum() + tv_s.sum())
+
     # Boundary split-levels: delta in [0, 30], D[0] = -1 (virtual root).
     x = codes[1:] ^ codes[:-1]
     d = jnp.where(x == 0, jnp.int32(30), jax.lax.clz(x) - 2)
@@ -433,6 +447,9 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
             m = D == c
             nsl = jnp.where(m, Ps[c], nsl)
             nsr = jnp.where(m, Qs[c], nsr)
+    if _ablate == "ret_ansv":
+        return _early((nsl.sum() + nsr.sum()).astype(jnp.float32) * 1e-9
+                      + slo.sum() + shi.sum() + tv_s.sum())
     a = jax.lax.shift_right_logical(nsl, 5)   # range start row (0 if none)
     dl = (nsl & 31) - 1
     b = jax.lax.shift_right_logical(nsr, 5)   # range end row (n if none)
@@ -475,6 +492,11 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     lleaf = pks <= a      # no kept boundary strictly inside (a, i)
     rleaf = nks >= b      # no kept boundary strictly inside (i, b)
 
+    if _ablate == "ret_dst":
+        return _early((dst.sum() + parent.sum() + side.sum()
+                       + kept.sum() + lleaf.sum() + rleaf.sum()
+                       + lcount).astype(jnp.float32) * 1e-9
+                      + slo.sum() + shi.sum() + tv_s.sum())
     # Child AABBs: sparse range-min table over sorted tri AABBs.
     packedb = jnp.concatenate([slo, -shi], axis=1)
     logn = max(int(np.ceil(np.log2(max(n, 2)))), 1)
@@ -506,10 +528,23 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     # own-row position shifted by a per-k CONSTANT -> a 21-way select of
     # shifted slices instead of a 7 ns/row gather. Child1 covers [i, b):
     # T[k1][i] is a pure row select; T[k1][b - 2^k1] is a gather.
+    if _ablate == "ret_table":
+        return _early(table.sum() * 1e-9
+                      + (dst.sum() + kept.sum()).astype(jnp.float32)
+                      + tv_s.sum())
+    if _ablate == "ret_tabmat":   # force MATERIALIZING flat_tab (gather
+        # consumers need the real buffer; table.sum() can stream-fuse)
+        probe = flat_tab[(iota * 977) % (flat_tab.shape[0])]
+        return _early(probe.sum() * 1e-9
+                      + (dst.sum() + kept.sum()).astype(jnp.float32)
+                      + tv_s.sum())
     if _ablate != "bounds":
         r1_0 = flat_tab[k0 * n + jnp.clip(a, 0, n - 1)]
         r2_1 = flat_tab[k1 * n + jnp.clip(b - (1 << k1), 0, n - 1)]
         dst_a = dst[jnp.clip(a, 0, n - 1)]  # gather: left-child run offsets
+    if _ablate == "ret_gather":
+        return _early((r1_0.sum() + r2_1.sum()) * 1e-9
+                      + dst_a.sum().astype(jnp.float32) * 1e-9 + tv_s.sum())
 
     enc0 = jnp.where(kept & lleaf, ~dst_a, 0)
     enc1 = jnp.where(kept & rleaf, ~dst, 0)
@@ -537,6 +572,9 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     lo0, hi0 = m0[:, 0:3], -m0[:, 3:6]
     lo1, hi1 = m1[:, 0:3], -m1[:, 3:6]
 
+    if _ablate == "ret_bounds":
+        return _early(m0.sum() * 1e-9 + m1.sum() * 1e-9
+                      + enc.sum().astype(jnp.float32) * 1e-9 + tv_s.sum())
     # Assemble node records with masking on the INT side and bitcast as
     # the very last step into its lane: f32 arithmetic (where/select/
     # relayout) over bitcast int lanes can FLUSH DENORMALS TO ZERO on
@@ -555,10 +593,15 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     nodes = nodes.at[:, 13].set(
         jax.lax.bitcast_convert_type(enc1m, jnp.float32))
 
-    # Woop rows + tri ids in one (n, 13) scatter; every unwritten row IS
-    # the leaf-end sentinel (lane0 bits 0x80000000, tri_index -1). The id
-    # lane carries the tri id as a float VALUE (exact below 2^24), never
-    # a bitcast: bitcast small ints are denormals and TPU f32 data paths
+    # Woop rows + tri ids: INVERT the placement. TPU scatter cost is
+    # per-ELEMENT (~8 ns; the old (n,13) woop scatter alone was 108 ms of
+    # the 237 ms single-wall build at 1M -- results_lbvh_ablate_r3.json),
+    # while row gathers are ~8 ns/ROW. So: ONE 1-column scatter builds the
+    # output->input map (src1, 0 = sentinel/gap row), then ONE 13-column
+    # row gather + select places the payload. Unmapped rows ARE the
+    # leaf-end sentinel (lane0 bits 0x80000000, tri_index -1). The id lane
+    # carries the tri id as a float VALUE (exact below 2^24), never a
+    # bitcast: bitcast small ints are denormals and TPU f32 data paths
     # flush them to zero (the silent all-zero-tri_index bug, round 2).
     w = _device_woopify(tv_s)
     wcap = 2 * n
@@ -566,14 +609,20 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         jnp.int32(-0x80000000), jnp.float32)
     init_row = jnp.zeros((13,), jnp.float32).at[0].set(
         sent_val).at[12].set(-1.0)
-    wout = jnp.tile(init_row[None, :], (wcap, 1))
     payload13 = jnp.concatenate(
         [w, order.astype(jnp.float32)[:, None]], axis=1)
     if _ablate != "scatter":
-        wout = wout.at[dst].set(payload13, mode="drop", unique_indices=True)
+        src1 = jnp.zeros((wcap,), jnp.int32).at[dst].set(
+            iota + 1, mode="drop", unique_indices=True)
+        gathered = payload13[jnp.maximum(src1 - 1, 0)]
+        wout = jnp.where((src1 > 0)[:, None], gathered, init_row[None, :])
+    else:
+        wout = jnp.tile(init_row[None, :], (wcap, 1))
     woop = wout[:, :12]
     tri_index = wout[:, 12].astype(jnp.int32)
 
+    if _ablate == "ret_nodes":
+        return _early(nodes.sum() * 1e-9 + tv_s.sum())
     root = jnp.argmax(kept & root_f).astype(jnp.int32)
     return dict(nodes=nodes, woop=woop, tri_index=tri_index, kept=kept,
                 root=root, node_count=kept.sum(), leaf_count=lcount,

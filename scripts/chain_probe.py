@@ -176,6 +176,70 @@ def make_kernel(level: str):
     return kernel
 
 
+def make_leaf_t_kernel():
+    """PLT: leaf row via broadcast+transpose instead of 120 lane extracts.
+
+    T = transpose(broadcast(row, (128,128))) puts lane j's value on ALL
+    lanes of sublane j; per-tri operands become (1,128) static-sublane
+    slices (free) and the MT math is pure VPU. Prices the transpose trick
+    against the extract chain (PL)."""
+    shape = (ROWS, 128)
+
+    def kernel(tris_ref, rays_ref, out_ref, stack_ref):
+        ox, oy, oz = rays_ref[0:ROWS], rays_ref[ROWS:2*ROWS], rays_ref[2*ROWS:3*ROWS]
+        dx, dy, dz = (rays_ref[3*ROWS:4*ROWS], rays_ref[4*ROWS:5*ROWS],
+                      rays_ref[5*ROWS:6*ROWS])
+        tn = jnp.zeros(shape, jnp.float32)
+        INF = np.float32(3e38)
+
+        def body(k, hs):
+            cur_t, cur_id = hs
+            trow = tris_ref[pl.ds(jax.lax.rem(k, NROWS), 1), :]
+            T = jnp.broadcast_to(trow, (128, 128)).T
+            cands = []
+            for jj in range(12):
+                b = 10 * jj
+                v0x, v0y, v0z = T[b+0:b+1], T[b+1:b+2], T[b+2:b+3]
+                e1x, e1y, e1z = T[b+3:b+4], T[b+4:b+5], T[b+5:b+6]
+                e2x, e2y, e2z = T[b+6:b+7], T[b+7:b+8], T[b+8:b+9]
+                tid = T[b+9:b+10]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = np.float32(1.0) / jnp.where(det == 0, np.float32(1.0), det)
+                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                u = (tvx * px + tvy * py + tvz * pz) * inv
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                valid = ((det != 0) & (tid >= 0) & (u >= 0) & (v >= 0)
+                         & (u + v <= 1) & (t > tn))
+                cands.append((jnp.where(valid, t, INF),
+                              jnp.where(valid, tid, INF)))
+            while len(cands) > 1:
+                nxt = []
+                for a, bb in zip(cands[0::2], cands[1::2]):
+                    take = (bb[0] < a[0]) | ((bb[0] == a[0]) & (bb[1] < a[1]))
+                    nxt.append((jnp.where(take, bb[0], a[0]),
+                                jnp.where(take, bb[1], a[1])))
+                if len(cands) % 2:
+                    nxt.append(cands[-1])
+                cands = nxt
+            bt, bid = cands[0]
+            acc = (bt < cur_t) | ((bt == cur_t) & (bid < cur_id))
+            return (jnp.where(acc, bt, cur_t), jnp.where(acc, bid, cur_id))
+
+        init = (jnp.full(shape, 1e30, jnp.float32),
+                jnp.full(shape, 1e30, jnp.float32))
+        t_f, id_f = jax.lax.fori_loop(0, STEPS, body, init)
+        out_ref[:] = t_f + id_f
+
+    return kernel
+
+
 def make_leaf_kernel(n_chains: int = 1):
     shape = (ROWS, 128)
 
@@ -253,6 +317,8 @@ def time_level(level, grid):
     if level.startswith("E"):
         ke, n = level[1:].split("x")
         kern = make_extract_kernel(int(ke), int(n))
+    elif level == "PLT":
+        kern = make_leaf_t_kernel()
     elif level.startswith("PL"):
         kern = make_leaf_kernel(int(level[3:]) if "x" in level else 1)
     elif "x" in level:

@@ -23,7 +23,8 @@ tv = jnp.asarray(soup.tri_verts())
 tlo, thi = tv.min(axis=1), tv.max(axis=1)
 lo, hi = soup.bbox()
 res = {}
-for ab in ("", "scans", "bounds", "scatter"):
+for ab in ("ret_dst", "ret_table", "ret_tabmat", "ret_gather",
+           "ret_bounds", ""):
     @jax.jit
     def build_once(shift, _ab=ab):
         out = lbvh_device_fast(tlo + shift, thi + shift, tv,

@@ -68,7 +68,13 @@ def full_build_scalar(k, tri_lo, tri_hi, tv, lo, hi):
 
     def body(i, acc):
         out = fn(tri_lo + acc * 1e-30, tri_hi, tv, lo, hi, max_leaf=8)
+        # Consume EVERY output a real consumer needs (nodes, woop,
+        # tri_index) so XLA cannot dead-code-eliminate the woop/tri-id
+        # placement. (Round-2's 74 ms/Mtri consumed only nodes+count, so
+        # the woop pass was DCE'd out of the clock -- metrology bug.)
         return acc + (out["nodes"].sum() * 1e-9
+                      + out["woop"].sum() * 1e-9
+                      + out["tri_index"].sum().astype(jnp.float32) * 1e-9
                       + out["node_count"].astype(jnp.float32))
 
     return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
