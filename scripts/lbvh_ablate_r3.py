@@ -23,8 +23,9 @@ tv = jnp.asarray(soup.tri_verts())
 tlo, thi = tv.min(axis=1), tv.max(axis=1)
 lo, hi = soup.bbox()
 res = {}
-for ab in ("ret_dst", "ret_table", "ret_tabmat", "ret_gather",
-           "ret_bounds", ""):
+variants = sys.argv[1].split(",") if len(sys.argv) > 1 else [
+    "ret_dst", "ret_table", "ret_tabmat", "ret_gather", "ret_bounds", ""]
+for ab in variants:
     @jax.jit
     def build_once(shift, _ab=ab):
         out = lbvh_device_fast(tlo + shift, thi + shift, tv,
@@ -40,6 +41,12 @@ for ab in ("ret_dst", "ret_table", "ret_tabmat", "ret_gather",
         best = min(best, time.time() - t0)
     res[ab or "full"] = round(best * 1e3, 1)
     print(f"[ablate] {ab or 'full'}: {best*1e3:.1f} ms", flush=True)
-with open("results_lbvh_ablate_r3.json", "w") as f:
+path = "results_lbvh_ablate_r3.json"
+if os.path.exists(path):
+    with open(path) as f:
+        prev = json.load(f)
+    prev.update(res)
+    res = prev
+with open(path, "w") as f:
     json.dump(res, f, indent=2)
 print("ABLATE DONE", flush=True)
