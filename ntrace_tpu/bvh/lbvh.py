@@ -26,6 +26,7 @@ contiguous in Morton order.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -359,8 +360,8 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         a 31-way select chain. No per-node binary searches (gather-bound),
         no per-level scatters.
       - leaf pruning by range size (subtrees with <= max_leaf rows become
-        leaves), record assembly, and child AABBs (sparse range-min table)
-        are elementwise + 4 row-gathers.
+        leaves), record assembly, and child AABBs (lane-packed sparse
+        range-min table) are elementwise + 3 row-gathers.
       - the only scatters: the kept-child -> parent-slot link, and the
         woop/tri-index row placement (gap rows pre-initialized to the
         0x80000000 leaf sentinel, so no separate sentinel scatter).
@@ -497,50 +498,76 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
                        + kept.sum() + lleaf.sum() + rleaf.sum()
                        + lcount).astype(jnp.float32) * 1e-9
                       + slo.sum() + shi.sum() + tv_s.sum())
-    # Child AABBs: sparse range-min table over sorted tri AABBs.
-    packedb = jnp.concatenate([slo, -shi], axis=1)
+    # Child AABBs: sparse range-min table over sorted tri AABBs, built
+    # LANE-PACKED. The round-2 layout ((levels, n, 6) f32, minor dim 6)
+    # ran every elementwise/select pass at 6/128 lane utilization and
+    # cost ~80 ms of the 150 ms single-wall build at 1M tris
+    # (results_lbvh_ablate_r3.json: +39 materialize, +20 gathers, +21
+    # selects). Same algorithm, three layout changes:
+    #   1. levels live in (6, n) orientation -- minor dim n, full
+    #      128-lane rows -- so the ~21 shifted-min passes stream at
+    #      bandwidth instead of 6/128 lane occupancy;
+    #   2. the two probes that need real gathers (left child's range
+    #      start `a`, right child's range end `b - 2^k1`) read ONE
+    #      position-major (n, L*6) copy whose minor dim ~126 is a full
+    #      lane tile: one FULL-ROW gather each (gather cost is per-ROW),
+    #      then the 6-lane level group is selected on the gathered value
+    #      (fuses; no minor-6 buffer is ever materialized -- XLA pads a
+    #      (m, 6) buffer's minor dim to the 128 tile, so the round-2
+    #      (levels, n, 6) table was ~21x its logical bytes in HBM);
+    #   3. the two own-position probes (i - 2^k0 and i) never gather:
+    #      they stay as select chains over the (6, n) levels.
+    # (A (row, level)-interleaved f32 copy in the OLD minor-6 layout was
+    # measured 3x slower overall; results_r3_sweep.json round 3.)
+    pbT = jnp.stack([sorted_ops[2], sorted_ops[3], sorted_ops[4],
+                     -sorted_ops[5], -sorted_ops[6], -sorted_ops[7]],
+                    axis=0)             # (6, n) lane-packed lo/-hi
     logn = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    L = logn + 1
     if _ablate == "bounds":  # WRONG boxes: prices table+selects+gathers
         dst_a = dst[jnp.clip(a, 0, n - 1)]
-        z6 = packedb
-        m0 = z6
-        m1 = z6
-    tables = [packedb]
-    for k in range(1, (logn + 1) if _ablate != "bounds" else 1):
+        m0 = pbT.T
+        m1 = pbT.T
+    levels = [pbT]
+    for k in range(1, L if _ablate != "bounds" else 1):
         half = 1 << (k - 1)
-        prev = tables[-1]
-        tables.append(jnp.minimum(
-            prev,
-            jnp.concatenate(
-                [prev[half:], jnp.full((half, 6), np.inf, jnp.float32)])))
-    table = jnp.stack(tables)           # (logn+1, n, 6)
-    # (A (row, level)-interleaved copy for gather locality was MEASURED 3x
-    # SLOWER overall -- the strided interleave write of the 500 MB table
-    # dwarfs any gather-locality win; results_r3_sweep.json round 3.)
-    flat_tab = table.reshape(-1, 6)
+        prev = levels[-1]
+        pad = jnp.full((6, min(half, n)), np.inf, jnp.float32)
+        levels.append(jnp.minimum(
+            prev, jnp.concatenate([prev[:, half:], pad], axis=1)))
+    big = jnp.stack(levels)             # (L, 6, n) lane-packed
 
     def k_of(sz):
         return jnp.minimum(31 - jax.lax.clz(jnp.maximum(sz, 1)), logn)
 
     k0 = k_of(left_n)
     k1 = k_of(right_n)
-    # Child0 covers [a, i): T[k0][a] is a gather; T[k0][i - 2^k0] has the
-    # own-row position shifted by a per-k CONSTANT -> a 21-way select of
-    # shifted slices instead of a 7 ns/row gather. Child1 covers [i, b):
-    # T[k1][i] is a pure row select; T[k1][b - 2^k1] is a gather.
     if _ablate == "ret_table":
-        return _early(table.sum() * 1e-9
+        return _early(big.sum() * 1e-9
                       + (dst.sum() + kept.sum()).astype(jnp.float32)
                       + tv_s.sum())
-    if _ablate == "ret_tabmat":   # force MATERIALIZING flat_tab (gather
-        # consumers need the real buffer; table.sum() can stream-fuse)
-        probe = flat_tab[(iota * 977) % (flat_tab.shape[0])]
+    # Position-major copy for the gathered probes: one 2-D transpose
+    # (both sides lane-rich: minor dims n and L*6~126).
+    Tpos = big.reshape(L * 6, n).T           # (n, L*6)
+    if _ablate == "ret_tabmat":   # force MATERIALIZING Tpos (gather
+        # consumers need the real buffer; big.sum() can stream-fuse)
+        probe = Tpos[(iota * 977) % n]
         return _early(probe.sum() * 1e-9
                       + (dst.sum() + kept.sum()).astype(jnp.float32)
                       + tv_s.sum())
+
+    def _gsel(rows126, kk):
+        """Select level group kk (6 lanes) from gathered (m, L*6) rows.
+
+        Exactly one mask element is True per row, so the masked min IS
+        the group; stays fused with the gather (no minor-6 buffer)."""
+        g3 = rows126.reshape(-1, L, 6)
+        m = kk[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+        return jnp.min(jnp.where(m[:, :, None], g3, np.inf), axis=1)
+
     if _ablate != "bounds":
-        r1_0 = flat_tab[k0 * n + jnp.clip(a, 0, n - 1)]
-        r2_1 = flat_tab[k1 * n + jnp.clip(b - (1 << k1), 0, n - 1)]
+        r1_0 = _gsel(Tpos[jnp.clip(a, 0, n - 1)], k0)
+        r2_1 = _gsel(Tpos[jnp.clip(b - (1 << k1), 0, n - 1)], k1)
         dst_a = dst[jnp.clip(a, 0, n - 1)]  # gather: left-child run offsets
     if _ablate == "ret_gather":
         return _early((r1_0.sum() + r2_1.sum()) * 1e-9
@@ -554,21 +581,25 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     enc = enc.reshape(-1).at[flat_t].set(
         iota, mode="drop", unique_indices=True).reshape(n, 2)
     if _ablate != "bounds":
-        r2_0 = table[0]
-        r1_1 = table[0]
-        for k in range(1, logn + 1):
+        # Own-position probes as select chains over the lane-packed
+        # (6, n) levels: value at column i is T[k0][i - 2^k0] (child0
+        # right probe) and T[k1][i] (child1 left probe).
+        r2_0T = levels[0]
+        r1_1T = levels[0]
+        for k in range(1, L):
             sh = 1 << k
             shifted = jnp.concatenate(
-                [jnp.full((min(sh, n), 6), np.inf, jnp.float32),
-                 table[k][:max(n - sh, 0)]])
-            r2_0 = jnp.where((k0 == k)[:, None], shifted, r2_0)
-            r1_1 = jnp.where((k1 == k)[:, None], table[k], r1_1)
+                [jnp.full((6, min(sh, n)), np.inf, jnp.float32),
+                 levels[k][:, :max(n - sh, 0)]], axis=1)
+            r2_0T = jnp.where((k0 == k)[None, :], shifted, r2_0T)
+            r1_1T = jnp.where((k1 == k)[None, :], levels[k], r1_1T)
         # k == 0 shift is 2^0 = 1:
         sh0 = jnp.concatenate(
-            [jnp.full((1, 6), np.inf, jnp.float32), table[0][:n - 1]])
-        r2_0 = jnp.where((k0 == 0)[:, None], sh0, r2_0)
-        m0 = jnp.minimum(r1_0, r2_0)
-        m1 = jnp.minimum(r1_1, r2_1)
+            [jnp.full((6, 1), np.inf, jnp.float32), levels[0][:, :n - 1]],
+            axis=1)
+        r2_0T = jnp.where((k0 == 0)[None, :], sh0, r2_0T)
+        m0 = jnp.minimum(r1_0, r2_0T.T)
+        m1 = jnp.minimum(r1_1T.T, r2_1)
     lo0, hi0 = m0[:, 0:3], -m0[:, 3:6]
     lo1, hi1 = m1[:, 0:3], -m1[:, 3:6]
 
@@ -611,13 +642,21 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         sent_val).at[12].set(-1.0)
     payload13 = jnp.concatenate(
         [w, order.astype(jnp.float32)[:, None]], axis=1)
-    if _ablate != "scatter":
+    place = os.environ.get("NTRACE_LBVH_PLACE", "gather")
+    if _ablate == "scatter":
+        wout = jnp.tile(init_row[None, :], (wcap, 1))
+    elif place == "scatter":
+        # A/B alternative: ONE monotone (n,13) row scatter into the
+        # sentinel-initialized output (dst is strictly increasing with
+        # unit gaps; lbvh_fast_parts.py priced monotone row scatters at
+        # ~5 ms/M vs the 2n-row gather's ~16 ms/M).
+        wout = jnp.tile(init_row[None, :], (wcap, 1)).at[dst].set(
+            payload13, mode="drop", unique_indices=True)
+    else:
         src1 = jnp.zeros((wcap,), jnp.int32).at[dst].set(
             iota + 1, mode="drop", unique_indices=True)
         gathered = payload13[jnp.maximum(src1 - 1, 0)]
         wout = jnp.where((src1 > 0)[:, None], gathered, init_row[None, :])
-    else:
-        wout = jnp.tile(init_row[None, :], (wcap, 1))
     woop = wout[:, :12]
     tri_index = wout[:, 12].astype(jnp.int32)
 
