@@ -244,6 +244,14 @@ class RenderConfig:
     #                            prepass packets are incoherent and traversal
     #                            is not tmax-bound) -- kept as an exact,
     #                            tested option: "on" | "auto" (packet) | "off"
+    compact_forest: str = "auto"  # chunk-membership ray compaction in the
+    #                            multi-chunk forest path (the reference's
+    #                            kepler_dynamic_fetch capability, SURVEY.md
+    #                            SS3.3): sort rays by which chunk bboxes
+    #                            their live segment can touch, so packets
+    #                            are chunk-homogeneous and whole packets
+    #                            die at entry for chunks they miss.
+    #                            "on" | "off" | "auto" (on when chunks > 1)
 
 
 def config_replace(cfg, **kw):

@@ -438,6 +438,35 @@ class Renderer:
             # Miss conventions match the single-chunk kernel: tri=-1, t=tmax,
             # u=v=0 (chunk passes run with masked tmax, so their miss values
             # must not leak into the result).
+            R = o.shape[0]
+            cf = self.cfg.compact_forest
+            compact = ((cf == "on" or (cf == "auto" and len(self.forest) > 1))
+                       and R >= 2048)
+            if compact:
+                # Chunk-membership compaction (reference dynamic-fetch
+                # capability, SURVEY.md SS3.3): group rays by the SET of
+                # chunk bboxes their segment can touch. Packets become
+                # chunk-homogeneous: for a chunk outside a packet's
+                # membership every lane is dead-marked below, so the whole
+                # packet exits in one step instead of traversing for a few
+                # straggler lanes. The secondary iota key preserves the
+                # caller's coherence order within each membership class.
+                # Per-ray results are exact and packet-grouping-invariant,
+                # so this cannot change a pixel (tests/test_packet.py).
+                memb = jnp.zeros((R,), jnp.int32)
+                for k, c in enumerate(self.forest):
+                    memb = memb | (
+                        _seg_hits(o, d, tn, tx, c["lo"], c["hi"])
+                        .astype(jnp.int32) << k)
+                ops = jax.lax.sort(
+                    (memb, jnp.arange(R, dtype=jnp.int32),
+                     o[:, 0], o[:, 1], o[:, 2],
+                     d[:, 0], d[:, 1], d[:, 2], tn, tx),
+                    num_keys=2)
+                perm = ops[1]
+                o = jnp.stack(ops[2:5], axis=1)
+                d = jnp.stack(ops[5:8], axis=1)
+                tn, tx = ops[8], ops[9]
             zero = jnp.zeros_like(tn)
             best = [jnp.full(tn.shape, -1, jnp.int32), tx, zero, zero]
             cur_tx = tx
@@ -467,6 +496,11 @@ class Renderer:
                     cur_tx = jnp.where(found, tn, tx)   # kill finished rays
                 else:
                     cur_tx = jnp.where(found, best[1], tx)
+            if compact:
+                # Un-permute results back to caller ray order. perm is a
+                # permutation, so a single-key sort is deterministic.
+                back = jax.lax.sort((perm,) + tuple(best), num_keys=1)
+                return back[1], back[2], back[3], back[4]
             return tuple(best)
 
         return _tracer

@@ -205,3 +205,18 @@ def test_forest_path_matches_single_chunk(soup_small, monkeypatch):
         np.testing.assert_array_equal(ref[i], got[i], err_msg=name)
     # any-hit: agreement on hit/no-hit (the accepted tri may differ).
     np.testing.assert_array_equal(ref_any[0] >= 0, got_any[0] >= 0)
+
+    # Chunk-membership compaction (R >= 2048 activates it): the sorted
+    # forest pass must be pixel-identical to the uncompacted one -- the
+    # per-ray results are packet-grouping-invariant by design.
+    o2, d2, tn2, tx2 = random_rays(rng, 2048)
+    args2 = tuple(jnp.asarray(x) for x in (o2, d2, tn2, tx2))
+    off = Renderer(soup_small, cfg,
+                   RenderConfig(engine="packet", compact_forest="off"))
+    on = Renderer(soup_small, cfg,
+                  RenderConfig(engine="packet", compact_forest="on"))
+    assert len(on.forest) >= 2
+    r_off = [np.asarray(x) for x in off._tracer(*args2, False)]
+    r_on = [np.asarray(x) for x in on._tracer(*args2, False)]
+    for i, name in enumerate(("tri", "t", "u", "v")):
+        np.testing.assert_array_equal(r_off[i], r_on[i], err_msg=name)
