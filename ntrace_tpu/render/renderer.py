@@ -310,13 +310,18 @@ class Renderer:
             elif engine == "packet":
                 from ntrace_tpu.trace.packet_pallas import trace_packet
 
+                # Mosaic ray blocks need sublane counts divisible by 8;
+                # sub-8-row packets (incoherent-mode tuning) interleave
+                # enough independent packets to fill the block.
+                ilv = 1 if rows >= 8 else 8 // rows
+
                 def _tracer(o, d, tn, tx, any_hit):
                     return trace_packet(
                         self.packed_nodes, self.packed_tris, o, d, tn, tx,
                         any_hit=any_hit, rows=rows, interpret=interpret,
                         order="code", tris_per_row=packed.tris_per_row,
                         nodes_per_row=packed.nodes_per_row,
-                        leaf_unroll=self.leaf_unroll,
+                        leaf_unroll=self.leaf_unroll, interleave=ilv,
                     )
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
@@ -485,7 +490,8 @@ class Renderer:
                     c["nodes"], c["tris"], o, d, tn, tx_k,
                     any_hit=any_hit, rows=rows, interpret=interpret,
                     order="code", tris_per_row=c["tpr"],
-                    nodes_per_row=c["npr"], leaf_unroll=c["lu"])
+                    nodes_per_row=c["npr"], leaf_unroll=c["lu"],
+                    interleave=1 if rows >= 8 else 8 // rows)
                 got = tri_k >= 0
                 # Chunk k ran with tmax = best-so-far t, so any hit it
                 # reports is strictly closer (or the ray was dead).
