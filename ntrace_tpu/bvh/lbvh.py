@@ -342,7 +342,8 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
 
 @partial(jax.jit, static_argnames=("max_leaf", "_ablate"))
 def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
-                     max_leaf=4, _ablate: str = ""):
+                     max_leaf=4, _ablate: str = "",
+                     compact_cap: int | None = None):
     """Single-pass LBVH emission: the <50 ms/Mtri path.
 
     The 30-level radix sweep (lbvh_device above, kept for the HLBVH forest
@@ -366,10 +367,14 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         woop/tri-index row placement (gap rows pre-initialized to the
         0x80000000 leaf sentinel, so no separate sentinel scatter).
 
-    Node ids are SPARSE (boundary index = node id; row i live iff
-    kept[i]); the host wrapper compacts and puts the root at index 0.
-    Returns dict(nodes (n,16), woop (2n,12), tri_index (2n,), kept (n,),
-    root, node_count, leaf_count, order).
+    Node records are emitted COMPACT: nodes has `compact_cap` rows (auto:
+    ~n*3.2/(max_leaf+4)), the first node_count are valid, child links are
+    final dense compact ids, and `root` is a compact id. If node_count
+    exceeds the cap (spine-shaped radix trees), links past the cap were
+    dropped -- the host wrapper detects this and retries with
+    compact_cap=n, which is always sufficient. Returns dict(nodes
+    (ncap,16), woop (2n,12), tri_index (2n,), kept (n,), root,
+    node_count, leaf_count, order).
     """
     n = tri_lo.shape[0]
     if n >= (1 << 24):
@@ -426,19 +431,28 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     cs = jnp.arange(C, dtype=jnp.int32)[:, None]
     packed = (iota << 5) | (D + 1)
     big = (jnp.int32(n) << 5) | 31
+    # The (31, n) class scans are the ANSV core. The one-pass Pallas
+    # carry scan (ops/pscan.py) replaces XLA's ~log2(n) shifted-max HBM
+    # passes; bit-identical, so CPU (lax) and TPU builds agree.
+    use_pscan = (os.environ.get("NTRACE_ANSV", "pallas") == "pallas"
+                 and jax.default_backend() in ("tpu", "axon"))
+    if use_pscan:
+        from ntrace_tpu.ops.pscan import row_scan_i32
+        cmax = lambda v: row_scan_i32(v, op="max")
+        cmin_rev = lambda v: row_scan_i32(v, op="min", reverse=True)
+    else:
+        cmax = lambda v: jax.lax.cummax(v, axis=1)
+        cmin_rev = lambda v: jax.lax.cummin(v, axis=1, reverse=True)
     if _ablate == "scans":
         P = jnp.broadcast_to(packed[None, :], (C, n))
     else:
-        P = jax.lax.cummax(
-            jnp.where(D[None, :] <= cs, packed[None, :], -1), axis=1)
+        P = cmax(jnp.where(D[None, :] <= cs, packed[None, :], -1))
     Ps = jnp.concatenate(
         [jnp.full((C, 1), -1, jnp.int32), P[:, :-1]], axis=1)
     if _ablate == "scans":
         Q = jnp.broadcast_to(packed[None, :], (C, n))
     else:
-        Q = jax.lax.cummin(
-            jnp.where(D[None, :] < cs, packed[None, :], big), axis=1,
-            reverse=True)
+        Q = cmin_rev(jnp.where(D[None, :] < cs, packed[None, :], big))
     Qs = jnp.concatenate(
         [Q[:, 1:], jnp.full((C, 1), big, jnp.int32)], axis=1)
     if _ablate != "scans":
@@ -481,8 +495,6 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     dst = iota + runs_incl - 1          # woop row of sorted tri r; also
     #                                     woopoff(s) for any run start s.
 
-    left_n = iota - a
-    right_n = b - iota
     # A child interval is a LEAF iff it contains no kept boundary (covers
     # both the size rule and duplicate clusters: the child root would be
     # the interval's min-priority boundary, which is kept iff any is).
@@ -524,11 +536,8 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
                     axis=0)             # (6, n) lane-packed lo/-hi
     logn = max(int(np.ceil(np.log2(max(n, 2)))), 1)
     L = logn + 1
-    if _ablate == "bounds":  # WRONG boxes: prices table+selects+gathers
-        dst_a = dst[jnp.clip(a, 0, n - 1)]
-        m0 = pbT.T
-        m1 = pbT.T
     levels = [pbT]
+    # ("bounds" ablate builds level 0 only and fakes the boxes below.)
     for k in range(1, L if _ablate != "bounds" else 1):
         half = 1 << (k - 1)
         prev = levels[-1]
@@ -540,15 +549,45 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     def k_of(sz):
         return jnp.minimum(31 - jax.lax.clz(jnp.maximum(sz, 1)), logn)
 
-    k0 = k_of(left_n)
-    k1 = k_of(right_n)
+    # --- compact-to-kept: every remaining per-node pass (probes, links,
+    # record assembly) runs over the KEPT nodes only -- measured 0.37n /
+    # 0.20n / 0.05n of the boundaries at max_leaf 4 / 8 / 32 -- instead
+    # of all n boundaries. ncap is a STATIC cap with headroom over those
+    # fractions; radix trees can be spine-shaped in the worst case, so
+    # the host wrapper retries with compact_cap=n (always safe) if
+    # node_count overflows the cap. The compaction scatter itself is
+    # monotone (cumsum slots), the cheap scatter class.
+    if compact_cap is None:
+        ncap = min(n, int(n * 3.2 / (max_leaf + 4)) + 256)
+    else:
+        ncap = min(max(compact_cap, 8), n)
+    kposi = jnp.cumsum(kept.astype(jnp.int32)) - 1   # compact slot per row
+    node_count = jnp.maximum(kposi[-1] + 1, 0)
+    cidx = jnp.zeros((ncap,), jnp.int32).at[
+        jnp.where(kept, kposi, ncap)].set(iota, mode="drop",
+                                          unique_indices=True)
+    ic = jnp.arange(ncap, dtype=jnp.int32)
+    cvalid = ic < node_count
+    # ONE packed row gather moves every per-node operand into compact
+    # space (separate 1-column gathers would pay the per-row gather
+    # latency once per column).
+    packq = jnp.stack(
+        [a, b, dst, lleaf.astype(jnp.int32), rleaf.astype(jnp.int32),
+         parent, side, root_f.astype(jnp.int32)], axis=1)
+    q = packq[cidx]
+    a_c, b_c, dst_i = q[:, 0], q[:, 1], q[:, 2]
+    lleaf_c, rleaf_c = q[:, 3] > 0, q[:, 4] > 0
+    parent_c, side_c, root_c = q[:, 5], q[:, 6], q[:, 7] > 0
+    k0 = k_of(cidx - a_c)
+    k1 = k_of(b_c - cidx)
     if _ablate == "ret_table":
         return _early(big.sum() * 1e-9
                       + (dst.sum() + kept.sum()).astype(jnp.float32)
                       + tv_s.sum())
     # Position-major copy for the gathered probes: one 2-D transpose
     # (both sides lane-rich: minor dims n and L*6~126).
-    Tpos = big.reshape(L * 6, n).T           # (n, L*6)
+    if _ablate != "bounds":
+        Tpos = big.reshape(L * 6, n).T       # (n, L*6)
     if _ablate == "ret_tabmat":   # force MATERIALIZING Tpos (gather
         # consumers need the real buffer; big.sum() can stream-fuse)
         probe = Tpos[(iota * 977) % n]
@@ -566,40 +605,35 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         return jnp.min(jnp.where(m[:, :, None], g3, np.inf), axis=1)
 
     if _ablate != "bounds":
-        r1_0 = _gsel(Tpos[jnp.clip(a, 0, n - 1)], k0)
-        r2_1 = _gsel(Tpos[jnp.clip(b - (1 << k1), 0, n - 1)], k1)
-        dst_a = dst[jnp.clip(a, 0, n - 1)]  # gather: left-child run offsets
+        # All four probes are compact full-row gathers + in-register
+        # level-group selects (the round-2 select chains over 21 full-
+        # size arrays are gone -- everything is per-kept-node now).
+        r1_0 = _gsel(Tpos[jnp.clip(a_c, 0, n - 1)], k0)
+        r2_0 = _gsel(Tpos[jnp.clip(cidx - (1 << k0), 0, n - 1)], k0)
+        r1_1 = _gsel(Tpos[cidx], k1)
+        r2_1 = _gsel(Tpos[jnp.clip(b_c - (1 << k1), 0, n - 1)], k1)
+        dst_a = dst[jnp.clip(a_c, 0, n - 1)]  # left-child run offsets
+        m0 = jnp.minimum(r1_0, r2_0)
+        m1 = jnp.minimum(r1_1, r2_1)
+    else:  # "bounds": WRONG boxes by design; keeps assembly live
+        dst_a = dst[jnp.clip(a_c, 0, n - 1)]
+        m0 = q[:, 0:6].astype(jnp.float32) + big.sum() * 1e-30
+        m1 = m0
     if _ablate == "ret_gather":
         return _early((r1_0.sum() + r2_1.sum()) * 1e-9
                       + dst_a.sum().astype(jnp.float32) * 1e-9 + tv_s.sum())
 
-    enc0 = jnp.where(kept & lleaf, ~dst_a, 0)
-    enc1 = jnp.where(kept & rleaf, ~dst, 0)
+    enc0 = jnp.where(lleaf_c, ~dst_a, 0)
+    enc1 = jnp.where(rleaf_c, ~dst_i, 0)
     enc = jnp.stack([enc0, enc1], axis=1)
-    # The single link scatter: kept non-root node i -> its parent's slot.
-    flat_t = jnp.where(kept & (~root_f), parent * 2 + side, 2 * n)
+    # The single link scatter, now in COMPACT space: each non-root kept
+    # node writes its COMPACT id into its parent's child slot, so the
+    # emitted links are final dense node ids (the host only moves the
+    # root to index 0).
+    pcomp = kposi[jnp.clip(parent_c, 0, n - 1)]
+    flat_t = jnp.where(cvalid & (~root_c), pcomp * 2 + side_c, 2 * ncap)
     enc = enc.reshape(-1).at[flat_t].set(
-        iota, mode="drop", unique_indices=True).reshape(n, 2)
-    if _ablate != "bounds":
-        # Own-position probes as select chains over the lane-packed
-        # (6, n) levels: value at column i is T[k0][i - 2^k0] (child0
-        # right probe) and T[k1][i] (child1 left probe).
-        r2_0T = levels[0]
-        r1_1T = levels[0]
-        for k in range(1, L):
-            sh = 1 << k
-            shifted = jnp.concatenate(
-                [jnp.full((6, min(sh, n)), np.inf, jnp.float32),
-                 levels[k][:, :max(n - sh, 0)]], axis=1)
-            r2_0T = jnp.where((k0 == k)[None, :], shifted, r2_0T)
-            r1_1T = jnp.where((k1 == k)[None, :], levels[k], r1_1T)
-        # k == 0 shift is 2^0 = 1:
-        sh0 = jnp.concatenate(
-            [jnp.full((6, 1), np.inf, jnp.float32), levels[0][:, :n - 1]],
-            axis=1)
-        r2_0T = jnp.where((k0 == 0)[None, :], sh0, r2_0T)
-        m0 = jnp.minimum(r1_0, r2_0T.T)
-        m1 = jnp.minimum(r1_1T.T, r2_1)
+        ic, mode="drop", unique_indices=True).reshape(ncap, 2)
     lo0, hi0 = m0[:, 0:3], -m0[:, 3:6]
     lo1, hi1 = m1[:, 0:3], -m1[:, 3:6]
 
@@ -614,11 +648,11 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     cols = [lo0[:, 0], hi0[:, 0], lo0[:, 1], hi0[:, 1],
             lo1[:, 0], hi1[:, 0], lo1[:, 1], hi1[:, 1],
             lo0[:, 2], hi0[:, 2], lo1[:, 2], hi1[:, 2]]
-    nodes = jnp.zeros((n, 16), jnp.float32)
+    nodes = jnp.zeros((ncap, 16), jnp.float32)
     for lane, col in enumerate(cols):
-        nodes = nodes.at[:, lane].set(jnp.where(kept, col, 0.0))
-    enc0m = jnp.where(kept, enc[:, 0], 0)
-    enc1m = jnp.where(kept, enc[:, 1], 0)
+        nodes = nodes.at[:, lane].set(jnp.where(cvalid, col, 0.0))
+    enc0m = jnp.where(cvalid, enc[:, 0], 0)
+    enc1m = jnp.where(cvalid, enc[:, 1], 0)
     nodes = nodes.at[:, 12].set(
         jax.lax.bitcast_convert_type(enc0m, jnp.float32))
     nodes = nodes.at[:, 13].set(
@@ -662,9 +696,9 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
 
     if _ablate == "ret_nodes":
         return _early(nodes.sum() * 1e-9 + tv_s.sum())
-    root = jnp.argmax(kept & root_f).astype(jnp.int32)
+    root = jnp.argmax(cvalid & root_c).astype(jnp.int32)   # COMPACT id
     return dict(nodes=nodes, woop=woop, tri_index=tri_index, kept=kept,
-                root=root, node_count=kept.sum(), leaf_count=lcount,
+                root=root, node_count=node_count, leaf_count=lcount,
                 order=order)
 
 
@@ -679,28 +713,31 @@ def build_lbvh_flat(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatBVH:
     tlo = tv.min(axis=1)
     thi = tv.max(axis=1)
     lo, hi = scene.bbox()
-    out = lbvh_device_fast(
-        jnp.asarray(tlo), jnp.asarray(thi), jnp.asarray(tv),
-        jnp.asarray(lo), jnp.asarray(hi),
-        max_leaf=cfg.max_leaf_size,
-    )
+    args = (jnp.asarray(tlo), jnp.asarray(thi), jnp.asarray(tv),
+            jnp.asarray(lo), jnp.asarray(hi))
+    out = lbvh_device_fast(*args, max_leaf=cfg.max_leaf_size)
     nc = int(out["node_count"])
+    if nc > out["nodes"].shape[0]:
+        # Spine-shaped radix tree overflowed the compact cap: rerun with
+        # the always-sufficient cap (exact either way, just slower).
+        out = lbvh_device_fast(*args, max_leaf=cfg.max_leaf_size,
+                               compact_cap=scene.num_tris)
+        nc = int(out["node_count"])
     if nc == 0:  # n <= max_leaf: no internal nodes emitted
         from ntrace_tpu.bvh.flatten import flatten_bvh
         from ntrace_tpu.bvh.median import build_median_bvh
 
         return flatten_bvh(build_median_bvh(scene, cfg), scene)
-    nodes = np.asarray(out["nodes"])
+    nodes = np.asarray(out["nodes"])[:nc]
     woop = np.asarray(out["woop"])
     tri_index = np.asarray(out["tri_index"])
-    kept = np.asarray(out["kept"])
     root = int(out["root"])
     lc = int(out["leaf_count"])
     n = scene.num_tris
-    # Compact sparse boundary-indexed nodes; root becomes node 0.
-    kidx = np.flatnonzero(kept)
-    perm = np.concatenate([[root], kidx[kidx != root]]).astype(np.int64)
-    remap = np.full(n, -1, np.int32)
+    # Device links are already dense compact ids; just move root -> 0.
+    perm = np.concatenate(
+        [[root], np.delete(np.arange(nc, dtype=np.int64), root)])
+    remap = np.empty(nc, np.int32)
     remap[perm] = np.arange(nc, dtype=np.int32)
     nd = np.ascontiguousarray(nodes[perm])
     for lane in (12, 13):

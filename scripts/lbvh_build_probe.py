@@ -82,7 +82,9 @@ def full_build_scalar(k, tri_lo, tri_hi, tv, lo, hi):
 
 def main():
     print(f"platform={jax.default_backend()}", file=sys.stderr)
-    for n in (100_000, 1_000_000):
+    sizes = tuple(int(s) for s in os.environ.get(
+        "NTRACE_PROBE_SIZES", "100000,1000000").split(","))
+    for n in sizes:
         scene = get_scene("hairball", n_tris=n)
         tv = scene.tri_verts()
         tlo = jnp.asarray(tv.min(axis=1))
