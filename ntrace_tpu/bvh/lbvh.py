@@ -561,23 +561,25 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         ncap = min(n, int(n * 3.2 / (max_leaf + 4)) + 256)
     else:
         ncap = min(max(compact_cap, 8), n)
+    # Compaction rides ONE stable multi-operand sort (kept-first, then
+    # boundary order) -- the same trick as the 17-operand Morton sort.
+    # The alternative (cumsum-slot scatter + an (n, 8) packed row
+    # gather) allocates a 512 MB minor-8 padded buffer per build and
+    # measurably poisons chained builds.
+    csrt = jax.lax.sort(
+        ((~kept).astype(jnp.int32), iota, a, b, dst,
+         lleaf.astype(jnp.int32), rleaf.astype(jnp.int32),
+         parent, side, root_f.astype(jnp.int32)),
+        num_keys=2)
+    cidx = csrt[1][:ncap]
+    a_c, b_c, dst_i = csrt[2][:ncap], csrt[3][:ncap], csrt[4][:ncap]
+    lleaf_c, rleaf_c = csrt[5][:ncap] > 0, csrt[6][:ncap] > 0
+    parent_c, side_c = csrt[7][:ncap], csrt[8][:ncap]
+    root_c = csrt[9][:ncap] > 0
     kposi = jnp.cumsum(kept.astype(jnp.int32)) - 1   # compact slot per row
     node_count = jnp.maximum(kposi[-1] + 1, 0)
-    cidx = jnp.zeros((ncap,), jnp.int32).at[
-        jnp.where(kept, kposi, ncap)].set(iota, mode="drop",
-                                          unique_indices=True)
     ic = jnp.arange(ncap, dtype=jnp.int32)
     cvalid = ic < node_count
-    # ONE packed row gather moves every per-node operand into compact
-    # space (separate 1-column gathers would pay the per-row gather
-    # latency once per column).
-    packq = jnp.stack(
-        [a, b, dst, lleaf.astype(jnp.int32), rleaf.astype(jnp.int32),
-         parent, side, root_f.astype(jnp.int32)], axis=1)
-    q = packq[cidx]
-    a_c, b_c, dst_i = q[:, 0], q[:, 1], q[:, 2]
-    lleaf_c, rleaf_c = q[:, 3] > 0, q[:, 4] > 0
-    parent_c, side_c, root_c = q[:, 5], q[:, 6], q[:, 7] > 0
     k0 = k_of(cidx - a_c)
     k1 = k_of(b_c - cidx)
     if _ablate == "ret_table":
@@ -595,14 +597,27 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
                       + (dst.sum() + kept.sum()).astype(jnp.float32)
                       + tv_s.sum())
 
+    L2 = 1 << int(np.ceil(np.log2(L)))   # levels padded to a power of 2
+
     def _gsel(rows126, kk):
         """Select level group kk (6 lanes) from gathered (m, L*6) rows.
 
-        Exactly one mask element is True per row, so the masked min IS
-        the group; stays fused with the gather (no minor-6 buffer)."""
-        g3 = rows126.reshape(-1, L, 6)
-        m = kk[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
-        return jnp.min(jnp.where(m[:, :, None], g3, np.inf), axis=1)
+        STAYS RANK-2: a (m, L, 6) reshape would materialize with its
+        minor dim 6 padded to the 128 tile (~GBs at 1M; the same trap
+        as the round-2 table). Instead mask the wrong levels to inf on
+        the flat lanes, then fold the level dimension by halving --
+        every intermediate is 2-D and lane-dense."""
+        m = rows126.shape[0]
+        g = jnp.concatenate(
+            [rows126,
+             jnp.full((m, (L2 - L) * 6), np.inf, jnp.float32)], axis=1)
+        lane_lvl = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) // 6
+        g = jnp.where(lane_lvl == kk[:, None], g, np.inf)
+        w = L2 * 6
+        while w > 6:
+            w //= 2
+            g = jnp.minimum(g[:, :w], g[:, w:2 * w])
+        return g
 
     if _ablate != "bounds":
         # All four probes are compact full-row gathers + in-register
@@ -617,7 +632,8 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         m1 = jnp.minimum(r1_1, r2_1)
     else:  # "bounds": WRONG boxes by design; keeps assembly live
         dst_a = dst[jnp.clip(a_c, 0, n - 1)]
-        m0 = q[:, 0:6].astype(jnp.float32) + big.sum() * 1e-30
+        m0 = (jnp.stack([a_c, b_c, dst_i, parent_c, side_c, cidx], axis=1)
+              .astype(jnp.float32) + big.sum() * 1e-30)
         m1 = m0
     if _ablate == "ret_gather":
         return _early((r1_0.sum() + r2_1.sum()) * 1e-9

@@ -30,8 +30,11 @@ for ab in variants:
     def build_once(shift, _ab=ab):
         out = lbvh_device_fast(tlo + shift, thi + shift, tv,
                                jnp.asarray(lo), jnp.asarray(hi),
-                               max_leaf=32, _ablate=_ab)
-        return out["nodes"].sum() + out["tri_index"].sum()
+                               max_leaf=int(os.environ.get(
+                                   "NTRACE_ABLATE_LEAF", "32")),
+                               _ablate=_ab)
+        return (out["nodes"].sum() + out["tri_index"].sum()
+                + out["woop"].sum() * 1e-9)
 
     jax.block_until_ready(build_once(jnp.float32(0.0)))
     best = 1e30
@@ -41,7 +44,7 @@ for ab in variants:
         best = min(best, time.time() - t0)
     res[ab or "full"] = round(best * 1e3, 1)
     print(f"[ablate] {ab or 'full'}: {best*1e3:.1f} ms", flush=True)
-path = "results_lbvh_ablate_r3.json"
+path = os.environ.get("NTRACE_ABLATE_OUT", "results_lbvh_ablate_r3.json")
 if os.path.exists(path):
     with open(path) as f:
         prev = json.load(f)
