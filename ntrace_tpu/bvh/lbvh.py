@@ -645,11 +645,16 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     # The single link scatter, now in COMPACT space: each non-root kept
     # node writes its COMPACT id into its parent's child slot, so the
     # emitted links are final dense node ids (the host only moves the
-    # root to index 0).
+    # root to index 0). Updates are SORTED BY TARGET first: scatter cost
+    # is index-locality dependent (~85 ns/row random vs ~5 monotone,
+    # lbvh_fast_parts.py), and parent slots arrive in child order; the
+    # small 2-operand sort turns a +22.7 ms random scatter into a
+    # monotone one (results_lbvh_ablate_ml8.json).
     pcomp = kposi[jnp.clip(parent_c, 0, n - 1)]
     flat_t = jnp.where(cvalid & (~root_c), pcomp * 2 + side_c, 2 * ncap)
-    enc = enc.reshape(-1).at[flat_t].set(
-        ic, mode="drop", unique_indices=True).reshape(ncap, 2)
+    st, sv = jax.lax.sort((flat_t, ic), num_keys=1)
+    enc = enc.reshape(-1).at[st].set(
+        sv, mode="drop", unique_indices=True).reshape(ncap, 2)
     lo0, hi0 = m0[:, 0:3], -m0[:, 3:6]
     lo1, hi1 = m1[:, 0:3], -m1[:, 3:6]
 
@@ -664,15 +669,16 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     cols = [lo0[:, 0], hi0[:, 0], lo0[:, 1], hi0[:, 1],
             lo1[:, 0], hi1[:, 0], lo1[:, 1], hi1[:, 1],
             lo0[:, 2], hi0[:, 2], lo1[:, 2], hi1[:, 2]]
-    nodes = jnp.zeros((ncap, 16), jnp.float32)
-    for lane, col in enumerate(cols):
-        nodes = nodes.at[:, lane].set(jnp.where(cvalid, col, 0.0))
     enc0m = jnp.where(cvalid, enc[:, 0], 0)
     enc1m = jnp.where(cvalid, enc[:, 1], 0)
-    nodes = nodes.at[:, 12].set(
-        jax.lax.bitcast_convert_type(enc0m, jnp.float32))
-    nodes = nodes.at[:, 13].set(
-        jax.lax.bitcast_convert_type(enc1m, jnp.float32))
+    zero_c = jnp.zeros((ncap,), jnp.float32)
+    # ONE stack instead of 16 chained .at[:, lane].set() updates -- each
+    # update rewrites the whole (ncap, 16) buffer (128-lane padded).
+    nodes = jnp.stack(
+        [jnp.where(cvalid, c, 0.0) for c in cols]
+        + [jax.lax.bitcast_convert_type(enc0m, jnp.float32),
+           jax.lax.bitcast_convert_type(enc1m, jnp.float32),
+           zero_c, zero_c], axis=1)
 
     # Woop rows + tri ids: INVERT the placement. TPU scatter cost is
     # per-ELEMENT (~8 ns; the old (n,13) woop scatter alone was 108 ms of
@@ -692,23 +698,71 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         sent_val).at[12].set(-1.0)
     payload13 = jnp.concatenate(
         [w, order.astype(jnp.float32)[:, None]], axis=1)
+    # pair4 (4 output rows per 52-lane gather) MEASURED 124.7 vs 95.7
+    # ms/Mtri at 1M: the stride-4 slices + per-slot select chains cost
+    # more than the halved gather rows save. Kept as a recorded
+    # negative; the plain (2n, 13) row gather is the default.
     place = os.environ.get("NTRACE_LBVH_PLACE", "gather")
+    packed4 = False
     if _ablate == "scatter":
         wout = jnp.tile(init_row[None, :], (wcap, 1))
     elif place == "scatter":
-        # A/B alternative: ONE monotone (n,13) row scatter into the
-        # sentinel-initialized output (dst is strictly increasing with
-        # unit gaps; lbvh_fast_parts.py priced monotone row scatters at
-        # ~5 ms/M vs the 2n-row gather's ~16 ms/M).
+        # A/B: ONE monotone (n,13) row scatter into the sentinel-
+        # initialized output. MEASURED 190.6 vs 106.3 ms/Mtri at 1M --
+        # the pre-initialized destination makes it RMW-bound; kept only
+        # as a recorded negative result.
         wout = jnp.tile(init_row[None, :], (wcap, 1)).at[dst].set(
             payload13, mode="drop", unique_indices=True)
-    else:
+    elif place == "pair4":
+        # 4 output rows per gathered row. The output->input map is a
+        # unit-step staircase (src increments by 1 at payload rows, and
+        # leaf runs are >= 1 row so sentinel rows are never adjacent),
+        # so a window of 4 output rows reads at most 4 CONSECUTIVE
+        # payload rows starting at the window's first live src. ONE
+        # (wcap/4, 52) row gather replaces the (2n, 13) one: gather
+        # cost is per-ROW, and that gather was +42.1 ms of the 125.5 ms
+        # single-wall build at 1M (results_lbvh_ablate_ml8.json).
+        # Output stays packed (wcap/4, 52): a device-side reshape to
+        # (2n, 13) would relayout through a minor-13 128-padded buffer;
+        # the host unpacks with a free numpy reshape.
+        wcap4 = -(-wcap // 4) * 4
+        src1 = jnp.zeros((wcap4,), jnp.int32).at[dst].set(
+            iota + 1, mode="drop", unique_indices=True)
+        s = [src1[k::4] for k in range(4)]
+        base = s[0]
+        for k in (1, 2, 3):
+            base = jnp.where(base > 0, base, s[k])
+        shifts = [payload13]
+        for k in (1, 2, 3):
+            shifts.append(jnp.concatenate(
+                [payload13[k:], jnp.zeros((k, 13), jnp.float32)]))
+        payload52 = jnp.concatenate(shifts, axis=1)   # row i: rows i..i+3
+        g = payload52[jnp.maximum(base - 1, 0)]       # (wcap4//4, 52)
+        parts = []
+        for k in range(4):
+            off = s[k] - base                          # in 0..3 when live
+            slot = g[:, 0:13]
+            for o in (1, 2, 3):
+                slot = jnp.where((off == o)[:, None],
+                                 g[:, 13 * o: 13 * o + 13], slot)
+            parts.append(jnp.where((s[k] > 0)[:, None], slot,
+                                   init_row[None, :]))
+        wout = jnp.concatenate(parts, axis=1)          # (wcap4//4, 52)
+        packed4 = True
+    else:  # "gather": the round-3 pre-pair4 baseline
         src1 = jnp.zeros((wcap,), jnp.int32).at[dst].set(
             iota + 1, mode="drop", unique_indices=True)
         gathered = payload13[jnp.maximum(src1 - 1, 0)]
         wout = jnp.where((src1 > 0)[:, None], gathered, init_row[None, :])
-    woop = wout[:, :12]
-    tri_index = wout[:, 12].astype(jnp.int32)
+    if packed4:
+        # Ids live in lanes 12/25/38/51 of the packed rows; extracting
+        # them on device would relayout, so tri_index is a sentinel the
+        # host ignores (it unpacks `woop`).
+        woop = wout
+        tri_index = jnp.full((1,), -1, jnp.int32)
+    else:
+        woop = wout[:, :12]
+        tri_index = wout[:, 12].astype(jnp.int32)
 
     if _ablate == "ret_nodes":
         return _early(nodes.sum() * 1e-9 + tv_s.sum())
@@ -745,8 +799,14 @@ def build_lbvh_flat(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatBVH:
 
         return flatten_bvh(build_median_bvh(scene, cfg), scene)
     nodes = np.asarray(out["nodes"])[:nc]
-    woop = np.asarray(out["woop"])
-    tri_index = np.asarray(out["tri_index"])
+    wraw = np.asarray(out["woop"])
+    if wraw.ndim == 2 and wraw.shape[1] == 52:   # pair4 packed layout
+        w13 = wraw.reshape(-1, 13)
+        woop = w13[:, :12]
+        tri_index = w13[:, 12].astype(np.int32)
+    else:
+        woop = wraw
+        tri_index = np.asarray(out["tri_index"])
     root = int(out["root"])
     lc = int(out["leaf_count"])
     n = scene.num_tris

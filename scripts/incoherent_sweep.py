@@ -16,11 +16,13 @@ builder = os.environ.get("BUILDER", "hlbvh")
 bcfg = BuildConfig(builder=builder, max_leaf_size=32)
 flat = build_accel(scene, bcfg, use_cache=True)
 cam = default_camera(scene.name)
-for rows in (16, 8, 4, 2):
+ROWS = tuple(int(r) for r in os.environ.get("ROWS", "16,8,4,2").split(","))
+MODES = tuple(os.environ.get("MODES", "diffuse,ao").split(","))
+for rows in ROWS:
     r = Renderer(scene, bcfg,
                  RenderConfig(width=1024, height=768, samples=4,
                               engine="packet", packet_rows=rows), flat=flat)
-    for mode in ("diffuse", "ao"):
+    for mode in MODES:
         best = {}
         for i in range(2):
             res = r.render(cam, mode=mode)
