@@ -69,19 +69,21 @@ def _node_record(nodes_ref, node, npr: int):
     return pltpu.roll(row, shift, axis=1)
 
 
-def _slab_child(rec, base, ox, oy, oz, ix, iy, iz, tmin, tmax):
-    """Slab-test one child whose 6 bounds start at lane `base` of rec.
+def _slab_child(ln, base, ox, oy, oz, ix, iy, iz, tmin, tmax):
+    """Slab-test one child whose 6 bounds start at lane `base` of the node
+    record; `ln(c)` yields lane c as a scalar or a (rows, 1) lane slice
+    (slabbc mode -- vector-pipe operand broadcast, bit-identical values).
 
     Matches ops/aabb.py slab_test: NaN-suppressing min/max, entry clamped
     to tmin, exit clamped to the per-lane running hitT.
     Returns (hit lanes, entry t lanes).
     """
-    tlo_x = (rec[0, base + 0] - ox) * ix
-    thi_x = (rec[0, base + 1] - ox) * ix
-    tlo_y = (rec[0, base + 2] - oy) * iy
-    thi_y = (rec[0, base + 3] - oy) * iy
-    tlo_z = (rec[0, base + 4] - oz) * iz
-    thi_z = (rec[0, base + 5] - oz) * iz
+    tlo_x = (ln(base + 0) - ox) * ix
+    thi_x = (ln(base + 1) - ox) * ix
+    tlo_y = (ln(base + 2) - oy) * iy
+    thi_y = (ln(base + 3) - oy) * iy
+    tlo_z = (ln(base + 4) - oz) * iz
+    thi_z = (ln(base + 5) - oz) * iz
     begin = jnp.fmax(
         jnp.fmax(jnp.fmin(tlo_x, thi_x), jnp.fmin(tlo_y, thi_y)),
         jnp.fmax(jnp.fmin(tlo_z, thi_z), tmin),
@@ -97,7 +99,8 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                  order: str = "mins", light: bool = False, ilv: int = 1,
                  probe: str = "none", tpr: int = TRIS_PER_ROW,
                  npr: int = NODES_PER_ROW, lu: int = 1,
-                 anyred: str = "sum"):
+                 anyred: str = "sum", leafbc: bool = False,
+                 slabbc: bool = False):
     """Build the packet kernel body.
 
     ilv > 1 interleaves that many INDEPENDENT packets (each with its own
@@ -153,12 +156,30 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                     cands = []
                     for u_i in range(lu):
                         trow = trows[u_i]
+                        if leafbc:
+                            # VECTOR-pipe operand broadcast: the ~10*tpr
+                            # scalar lane extracts per row are the leaf
+                            # phase's measured serial binder (~2.7 ns each,
+                            # single in-order scalar pipe, no overlap --
+                            # PERF_NOTES "round-2 kernel-structure").
+                            # Replicate the row across sublanes ONCE, then
+                            # every constant is a (rows, 1) static lane
+                            # slice that lane-broadcasts inside the MT
+                            # arithmetic -- permute/VPU work that pipelines
+                            # with the tests instead of serializing before
+                            # them. Values are bit-identical: same fp32
+                            # elementwise ops, operands merely vector-
+                            # shaped.
+                            tb = jnp.broadcast_to(trow, (rows, 128))
+                            ln = lambda c: tb[:, c: c + 1]
+                        else:
+                            ln = lambda c: trow[0, c]
                         for jj in range(tpr):
                             b = TRI_LANES * jj
-                            v0x, v0y, v0z = trow[0, b + 0], trow[0, b + 1], trow[0, b + 2]
-                            e1x, e1y, e1z = trow[0, b + 3], trow[0, b + 4], trow[0, b + 5]
-                            e2x, e2y, e2z = trow[0, b + 6], trow[0, b + 7], trow[0, b + 8]
-                            tid = trow[0, b + 9].astype(jnp.int32)
+                            v0x, v0y, v0z = ln(b + 0), ln(b + 1), ln(b + 2)
+                            e1x, e1y, e1z = ln(b + 3), ln(b + 4), ln(b + 5)
+                            e2x, e2y, e2z = ln(b + 6), ln(b + 7), ln(b + 8)
+                            tid = ln(b + 9).astype(jnp.int32)
                             px = dy * e2z - dz * e2y
                             py = dz * e2x - dx * e2z
                             pz = dx * e2y - dy * e2x
@@ -238,9 +259,14 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
             dead = deads[s]
             active = node >= 0
             rec = _node_record(nodes_ref, jnp.maximum(node, 0), npr)
+            if slabbc:
+                recb = jnp.broadcast_to(rec, (rows, 128))
+                rln = lambda c: recb[:, c: c + 1]
+            else:
+                rln = lambda c: rec[0, c]
             live_t = jnp.where(dead, -INF, hit_t) if any_hit else hit_t
-            h0, t0 = _slab_child(rec, 0, ox, oy, oz, ix, iy, iz, tn, live_t)
-            h1, t1 = _slab_child(rec, 6, ox, oy, oz, ix, iy, iz, tn, live_t)
+            h0, t0 = _slab_child(rln, 0, ox, oy, oz, ix, iy, iz, tn, live_t)
+            h1, t1 = _slab_child(rln, 6, ox, oy, oz, ix, iy, iz, tn, live_t)
             if order == "mins":
                 n0 = jnp.min(jnp.where(h0, t0, INF))
                 n1 = jnp.min(jnp.where(h1, t1, INF))
@@ -382,7 +408,7 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit", "stats",
                      "order", "light", "interleave", "probe",
                      "tris_per_row", "nodes_per_row", "leaf_unroll",
-                     "anyred"),
+                     "anyred", "leafbc", "slabbc"),
 )
 def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  any_hit: bool = False, rows: int = 8,
@@ -391,7 +417,8 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
                  light: bool = False, interleave: int = 1,
                  probe: str = "none", tris_per_row: int = TRIS_PER_ROW,
                  nodes_per_row: int = NODES_PER_ROW, leaf_unroll: int = 1,
-                 anyred: str = "sum"):
+                 anyred: str = "sum", leafbc: bool = False,
+                 slabbc: bool = False):
     """Trace rays through a PackedBVH with the packet kernel.
 
     nodes8/tris12: device arrays of bvh/packed.py layout.
@@ -463,7 +490,8 @@ def trace_packet(nodes8, tris12, orig, dirn, tmin, tmax, *,
         )
     outs = pl.pallas_call(
         _make_kernel(rows, any_hit, stats, order, light, ilv, probe,
-                     tris_per_row, nodes_per_row, leaf_unroll, anyred),
+                     tris_per_row, nodes_per_row, leaf_unroll, anyred,
+                     leafbc, slabbc),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=out_specs,

@@ -96,6 +96,25 @@ def test_packet_matches_golden(soup_small, rng, rows, interleave, order,
     np.testing.assert_allclose(np.asarray(v)[hit], ref.v[hit], rtol=1e-4, atol=1e-5)
 
 
+def test_packet_operand_broadcast_bit_exact(soup_small, rng):
+    """leafbc/slabbc (vector-pipe operand broadcasts replacing scalar lane
+    extracts) must be BIT-identical to the scalar-extract kernel: same fp32
+    elementwise ops, operands merely vector-shaped."""
+    flat = flatten_bvh(
+        build_sbvh(soup_small, BuildConfig(builder="binned_sah")), soup_small)
+    packed = pack_bvh(flat, soup_small.tri_verts())
+    orig, dirn, tmin, tmax = random_rays(rng, 700)
+    tmax = np.minimum(tmax, 1e9).astype(np.float32)
+    args = (packed.nodes8, packed.tris12, orig, dirn, tmin, tmax)
+    base = trace_packet(*args, rows=8, interpret=True, order="code")
+    for kw in (dict(leafbc=True), dict(slabbc=True),
+               dict(leafbc=True, slabbc=True)):
+        got = trace_packet(*args, rows=8, interpret=True, order="code", **kw)
+        for i in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(base[i]), np.asarray(got[i]), err_msg=str(kw))
+
+
 def test_packet_anyhit(soup_medium, rng):
     flat, packed = _packed(soup_medium)
     orig, dirn, tmin, tmax = random_rays(rng, 1024)
