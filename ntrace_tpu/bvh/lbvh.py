@@ -340,10 +340,12 @@ def lbvh_device(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi, max_leaf=4,
                 n_clusters=ordinal[-1] + 1)
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "_ablate"))
+@partial(jax.jit, static_argnames=("max_leaf", "_ablate", "emit", "tpr",
+                                   "npr"))
 def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
                      max_leaf=4, _ablate: str = "",
-                     compact_cap: int | None = None):
+                     compact_cap: int | None = None, emit: str = "flat",
+                     tpr: int = 12, npr: int = 1):
     """Single-pass LBVH emission: the <50 ms/Mtri path.
 
     The 30-level radix sweep (lbvh_device above, kept for the HLBVH forest
@@ -561,6 +563,7 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         ncap = min(n, int(n * 3.2 / (max_leaf + 4)) + 256)
     else:
         ncap = min(max(compact_cap, 8), n)
+    ncap = min(-(-ncap // 8) * 8, n)  # keep sliceable: csrt operands are (n,)
     # Compaction rides ONE stable multi-operand sort (kept-first, then
     # boundary order) -- the same trick as the 17-operand Morton sort.
     # The alternative (cumsum-slot scatter + an (n, 8) packed row
@@ -639,8 +642,18 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
         return _early((r1_0.sum() + r2_1.sum()) * 1e-9
                       + dst_a.sum().astype(jnp.float32) * 1e-9 + tv_s.sum())
 
-    enc0 = jnp.where(lleaf_c, ~dst_a, 0)
-    enc1 = jnp.where(rleaf_c, ~dst_i, 0)
+    if emit == "packed":
+        # Leaf child -> -(first tri ROW + 1) in the DENSE sorted-slot
+        # table (bvh/packed.py tris12 contract): a leaf is a contiguous
+        # run of sorted tris, so its first slot IS its range start and
+        # no sentinel rows exist at all. The entire flat-mode woop
+        # placement (the (2n, 13) row gather, +42 ms/Mtri of the 1M
+        # build, results_lbvh_ablate_ml8.json) disappears.
+        enc0 = jnp.where(lleaf_c, -(a_c // tpr) - 1, 0)
+        enc1 = jnp.where(rleaf_c, -(cidx // tpr) - 1, 0)
+    else:
+        enc0 = jnp.where(lleaf_c, ~dst_a, 0)
+        enc1 = jnp.where(rleaf_c, ~dst_i, 0)
     enc = jnp.stack([enc0, enc1], axis=1)
     # The single link scatter, now in COMPACT space: each non-root kept
     # node writes its COMPACT id into its parent's child slot, so the
@@ -661,6 +674,80 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     if _ablate == "ret_bounds":
         return _early(m0.sum() * 1e-9 + m1.sum() * 1e-9
                       + enc.sum().astype(jnp.float32) * 1e-9 + tv_s.sum())
+    if emit == "packed":
+        # --- packed-direct emission: the packet kernel's own tables ----
+        # (bvh/packed.py layout), built entirely on device. The flat-mode
+        # FlatBVH round trip (device->host woop/tri_index, host pack_bvh
+        # re-pack, host->device tables) is skipped along with its 2n-row
+        # gather. Links are float VALUES (exact < 2**24, the packed.py
+        # contract -- also immune to the TPU denormal-flush trap).
+        size0 = cidx - a_c
+        size1 = b_c - cidx
+        row0 = a_c // tpr
+        row1 = cidx // tpr
+        rows0 = (a_c + jnp.maximum(size0, 1) - 1) // tpr - row0 + 1
+        rows1 = (cidx + jnp.maximum(size1, 1) - 1) // tpr - row1 + 1
+        # Root relocation to slot 0 happens IN the links (swap 0<->root),
+        # then the two node rows are swapped after assembly.
+        rootc = jnp.argmax(cvalid & root_c).astype(jnp.int32)
+        ei = enc  # int (ncap, 2): >=0 internal compact id, <0 leaf row
+        ei = jnp.where(ei >= 0,
+                       jnp.where(ei == rootc, 0,
+                                 jnp.where(ei == 0, rootc, ei)), ei)
+        encf = ei.astype(jnp.float32)
+        # Traversal order code (axis*2 + child0-on-low-side) from child
+        # centers, only meaningful when both children are internal --
+        # same rule as pack_bvh.
+        c0c = lo0 + hi0
+        c1c = lo1 + hi1
+        sep = c0c - c1c
+        sa = jnp.abs(sep)
+        axis = jnp.where(sa[:, 1] > sa[:, 0], 1, 0)
+        axis = jnp.where(sa[:, 2] > jnp.maximum(sa[:, 0], sa[:, 1]), 2, axis)
+        sepa = jnp.where(axis == 0, sep[:, 0],
+                         jnp.where(axis == 1, sep[:, 1], sep[:, 2]))
+        code = (axis * 2 + (sepa <= 0).astype(jnp.int32)).astype(jnp.float32)
+        both_int = (~lleaf_c) & (~rleaf_c)
+        cnt0 = jnp.where(both_int, code,
+                         jnp.where(lleaf_c, rows0.astype(jnp.float32), 0.0))
+        cnt1 = jnp.where(rleaf_c, rows1.astype(jnp.float32), 0.0)
+        lanes = [lo0[:, 0], hi0[:, 0], lo0[:, 1], hi0[:, 1],
+                 lo0[:, 2], hi0[:, 2], lo1[:, 0], hi1[:, 0],
+                 lo1[:, 1], hi1[:, 1], lo1[:, 2], hi1[:, 2],
+                 encf[:, 0], encf[:, 1], cnt0, cnt1]
+        rec = jnp.stack([jnp.where(cvalid, c, 0.0) for c in lanes], axis=1)
+        # Swap rows 0 <-> root (links already swapped above).
+        sw = jnp.stack([jnp.maximum(rootc, 0), jnp.int32(0)])
+        rec = rec.at[jnp.stack([jnp.int32(0), jnp.maximum(rootc, 0)])].set(
+            rec[sw])
+        nc8 = -(-rec.shape[0] // 8) * 8
+        if nc8 != rec.shape[0]:
+            rec = jnp.concatenate(
+                [rec, jnp.zeros((nc8 - rec.shape[0], 16), jnp.float32)])
+        if npr == 8:
+            pnodes = rec.reshape(-1, 128)
+        else:
+            pnodes = jnp.concatenate(
+                [rec, jnp.zeros((nc8, 112), jnp.float32)], axis=1)
+        # Dense tri slots in sorted order: [v0, e1, e2, id], id as float
+        # VALUE. >= 3 spare zero rows past the end for leaf_unroll (pad
+        # slots have e1 = e2 = 0 -> det == 0, id = -1: can never hit).
+        v0 = tv_s[:, 0, :]
+        payload10 = jnp.concatenate(
+            [v0, tv_s[:, 1, :] - v0, tv_s[:, 2, :] - v0,
+             order.astype(jnp.float32)[:, None]], axis=1)
+        TR = -(-n // tpr)
+        TR_pad = max(8, -(-(TR + 3) // 8) * 8)
+        pad_rows = TR_pad * tpr - n
+        padrow = jnp.zeros((10,), jnp.float32).at[9].set(-1.0)
+        pt = jnp.concatenate(
+            [payload10, jnp.tile(padrow[None, :], (pad_rows, 1))])
+        pt = pt.reshape(TR_pad, tpr * 10)
+        ptris = jnp.concatenate(
+            [pt, jnp.zeros((TR_pad, 128 - tpr * 10), jnp.float32)], axis=1)
+        return dict(pnodes=pnodes, ptris=ptris, kept=kept,
+                    root=jnp.int32(0), node_count=node_count,
+                    cap=jnp.int32(ncap), leaf_count=lcount, order=order)
     # Assemble node records with masking on the INT side and bitcast as
     # the very last step into its lane: f32 arithmetic (where/select/
     # relayout) over bitcast int lanes can FLUSH DENORMALS TO ZERO on
@@ -770,6 +857,51 @@ def lbvh_device_fast(tri_lo, tri_hi, tri_verts, scene_lo, scene_hi,
     return dict(nodes=nodes, woop=woop, tri_index=tri_index, kept=kept,
                 root=root, node_count=node_count, leaf_count=lcount,
                 order=order)
+
+
+def build_lbvh_packed(scene: Scene, cfg: BuildConfig = BuildConfig(), *,
+                      tris_per_row: int = 12, nodes_per_row: int = 1):
+    """Device build straight to the packet kernel's lane-packed tables.
+
+    Skips the FlatBVH round trip entirely (device->host woop arrays,
+    host pack_bvh, host->device tables): lbvh_device_fast(emit="packed")
+    emits bvh/packed.py-layout nodes + dense sorted tri slots on device,
+    root already at row 0, links as float values. The per-frame rebuild
+    path (BASELINE config #4, hairball) is this function.
+
+    Returns a PackedBVH whose arrays are DEVICE arrays.
+    """
+    from ntrace_tpu.bvh.packed import PackedBVH
+
+    tv = scene.tri_verts()
+    n = scene.num_tris
+
+    def _host_fallback():
+        from ntrace_tpu.bvh.packed import pack_bvh
+
+        return pack_bvh(build_lbvh_flat(scene, cfg), tv,
+                        tris_per_row=tris_per_row,
+                        nodes_per_row=nodes_per_row)
+
+    if n < 2:
+        return _host_fallback()
+    tlo = tv.min(axis=1)
+    thi = tv.max(axis=1)
+    lo, hi = scene.bbox()
+    args = (jnp.asarray(tlo), jnp.asarray(thi), jnp.asarray(tv),
+            jnp.asarray(lo), jnp.asarray(hi))
+    kw = dict(max_leaf=cfg.max_leaf_size, emit="packed",
+              tpr=tris_per_row, npr=nodes_per_row)
+    out = lbvh_device_fast(*args, **kw)
+    nc = int(out["node_count"])
+    if nc > int(out["cap"]):
+        out = lbvh_device_fast(*args, compact_cap=n, **kw)
+        nc = int(out["node_count"])
+    if nc == 0:
+        return _host_fallback()
+    return PackedBVH(nodes8=out["pnodes"], tris12=out["ptris"],
+                     num_nodes=nc, num_tris=n,
+                     nodes_per_row=nodes_per_row, tris_per_row=tris_per_row)
 
 
 def build_lbvh_flat(scene: Scene, cfg: BuildConfig = BuildConfig()) -> FlatBVH:

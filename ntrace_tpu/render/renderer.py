@@ -174,8 +174,31 @@ class Renderer:
         self.cfg = cfg
         self.build_cfg = build_cfg
         self.timer = StageTimer()
-        with self.timer.stage("build"):
-            self.flat = flat if flat is not None else build_accel(scene, build_cfg)
+        # Packed-direct fast path: builder=lbvh on TPU emits the packet
+        # kernel's lane-packed tables entirely on device
+        # (bvh/lbvh.py build_lbvh_packed) -- no FlatBVH device->host
+        # round trip, no host pack_bvh. Per-frame rebuild cost IS this
+        # build (BASELINE config #4).
+        self._direct = False
+        if (flat is None and cfg.engine in ("auto", "packet")
+                and build_cfg.builder == "lbvh"
+                and jax.default_backend() in ("tpu", "axon")):
+            tri_rows = -(-scene.num_tris // 12)
+            node_rows = (int(scene.num_tris * 3.2
+                             / (build_cfg.max_leaf_size + 4)) + 256)
+            if (tri_rows + node_rows) * 512 <= VMEM_BUDGET:
+                from ntrace_tpu.bvh.lbvh import build_lbvh_packed
+
+                with self.timer.stage("build"):
+                    self.packed = build_lbvh_packed(
+                        scene, build_cfg, tris_per_row=12, nodes_per_row=1)
+                self._direct = True
+        if self._direct:
+            self.flat = None
+        else:
+            with self.timer.stage("build"):
+                self.flat = (flat if flat is not None
+                             else build_accel(scene, build_cfg))
         engine = cfg.engine
         from ntrace_tpu.bvh.kdtree import FlatKDTree, kd_to_flatbvh
 
@@ -199,8 +222,8 @@ class Renderer:
             # forest (bvh/forest.py) when they don't. Off-TPU the packet
             # kernel only runs interpreted (test-speed), so auto avoids it.
             engine = "stack2"
-            if jax.default_backend() in ("tpu", "axon") and isinstance(
-                    self.flat, FlatBVH):
+            if jax.default_backend() in ("tpu", "axon") and (
+                    self._direct or isinstance(self.flat, FlatBVH)):
                 engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
@@ -289,11 +312,19 @@ class Renderer:
                     flat.nodes.shape[0], n_refs, avg_leaf=avg_leaf)
                 return n_refs, avg_leaf, tpr, npr
 
-            n_refs, avg_leaf, tpr, npr = _layout_of(self.flat)
-            est_bytes = (-(-self.flat.nodes.shape[0] // npr)
-                         + -(-n_refs // tpr)) * 512
-            forest = engine == "packet" and est_bytes > VMEM_BUDGET
-            if not forest:
+            if self._direct:
+                forest = False
+                packed = self.packed   # device-built (build_lbvh_packed)
+                self.leaf_unroll = (4 if build_cfg.max_leaf_size >= 6
+                                    else 1)
+                self.packed_nodes = packed.nodes8
+                self.packed_tris = packed.tris12
+            else:
+                n_refs, avg_leaf, tpr, npr = _layout_of(self.flat)
+                est_bytes = (-(-self.flat.nodes.shape[0] // npr)
+                             + -(-n_refs // tpr)) * 512
+                forest = engine == "packet" and est_bytes > VMEM_BUDGET
+            if not forest and not self._direct:
                 self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
                 packed = pack_bvh(self.flat, scene.tri_verts(),
                                   tris_per_row=tpr, nodes_per_row=npr)

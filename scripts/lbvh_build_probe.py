@@ -65,13 +65,21 @@ def full_build_scalar(k, tri_lo, tri_hi, tv, lo, hi):
 
     fn = (lbvh_device_fast if os.environ.get("NTRACE_LBVH", "fast") == "fast"
           else lbvh_device)
+    ml = int(os.environ.get("NTRACE_PROBE_ML", "8"))
+    packed = os.environ.get("NTRACE_LBVH_EMIT", "flat") == "packed"
 
     def body(i, acc):
-        out = fn(tri_lo + acc * 1e-30, tri_hi, tv, lo, hi, max_leaf=8)
-        # Consume EVERY output a real consumer needs (nodes, woop,
-        # tri_index) so XLA cannot dead-code-eliminate the woop/tri-id
-        # placement. (Round-2's 74 ms/Mtri consumed only nodes+count, so
-        # the woop pass was DCE'd out of the clock -- metrology bug.)
+        # Consume EVERY output a real consumer needs so XLA cannot
+        # dead-code-eliminate the placement passes. (Round-2's 74 ms/Mtri
+        # consumed only nodes+count, so the woop pass was DCE'd out of
+        # the clock -- metrology bug.)
+        if packed:
+            out = fn(tri_lo + acc * 1e-30, tri_hi, tv, lo, hi, max_leaf=ml,
+                     emit="packed")
+            return acc + (out["pnodes"].sum() * 1e-9
+                          + out["ptris"].sum() * 1e-9
+                          + out["node_count"].astype(jnp.float32))
+        out = fn(tri_lo + acc * 1e-30, tri_hi, tv, lo, hi, max_leaf=ml)
         return acc + (out["nodes"].sum() * 1e-9
                       + out["woop"].sum() * 1e-9
                       + out["tri_index"].sum().astype(jnp.float32) * 1e-9

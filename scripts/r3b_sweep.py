@@ -174,8 +174,14 @@ def lbvh_section():
     tlo, thi = tv.min(axis=1), tv.max(axis=1)
     lo, hi = (jnp.asarray(x) for x in soup.bbox())
 
-    for ml in (8, 32):
-        def one(shift, ml=ml):
+    for ml, emit in ((8, "flat"), (8, "packed"), (32, "packed")):
+        def one(shift, ml=ml, emit=emit):
+            if emit == "packed":
+                out = lbvh_device_fast(tlo + shift, thi, tv, lo, hi,
+                                       max_leaf=ml, emit="packed")
+                return (out["pnodes"].sum() * 1e-9
+                        + out["ptris"].sum() * 1e-9
+                        + out["node_count"].astype(jnp.float32))
             out = lbvh_device_fast(tlo + shift, thi, tv, lo, hi, max_leaf=ml)
             return (out["nodes"].sum() * 1e-9
                     + out["woop"].sum() * 1e-9
@@ -210,11 +216,11 @@ def lbvh_section():
             return wall(lambda: run(jnp.float32(1e-7)), reps=2)
         unr = (unr_k(5) - unr_k(1)) / 4
 
-        RESULTS[f"lbvh_ml{ml}"] = dict(
+        RESULTS[f"lbvh_{emit}_ml{ml}"] = dict(
             wall1_ms=round(w1 * 1e3, 1),
             fori_marginal_ms=round(fori * 1e3, 1),
             unrolled_marginal_ms=round(unr * 1e3, 1))
-        print(f"[r3b] lbvh ml{ml}: {RESULTS[f'lbvh_ml{ml}']}", flush=True)
+        print(f"[r3b] lbvh {emit} ml{ml}: {RESULTS[f'lbvh_{emit}_ml{ml}']}", flush=True)
         save()
 
 

@@ -180,3 +180,29 @@ def test_duplicate_code_clusters_fat_leaves_bounded_depth():
     rec = trace_cpu_golden(flat, o, d, tn, tx)
     ref = brute_force_mt(scene, o, d, tn, tx)
     np.testing.assert_array_equal(rec.tri, ref.tri)
+
+
+@pytest.mark.parametrize("n,ml,tpr,npr", [
+    (500, 4, 12, 1), (3000, 8, 4, 1), (3000, 16, 12, 8),
+])
+def test_lbvh_packed_direct_matches_brute(n, ml, tpr, npr, rng):
+    """emit="packed" device emission (bvh/packed.py tables, no FlatBVH
+    round trip, no sentinel rows) traced by the packet kernel must match
+    brute force exactly."""
+    from ntrace_tpu.bvh.lbvh import build_lbvh_packed
+    from ntrace_tpu.trace.packet_pallas import trace_packet
+
+    soup = make_random_soup(n_tris=n, seed=7)
+    pk = build_lbvh_packed(
+        soup, BuildConfig(builder="lbvh", max_leaf_size=ml),
+        tris_per_row=tpr, nodes_per_row=npr)
+    o, d, tn, tx = random_rays(rng, 700)
+    tri, t, u, v = trace_packet(
+        np.asarray(pk.nodes8), np.asarray(pk.tris12), o, d, tn, tx,
+        rows=8, interpret=True, order="code", tris_per_row=tpr,
+        nodes_per_row=npr)
+    ref = brute_force_mt(soup, o, d, tn, tx)
+    np.testing.assert_array_equal(np.asarray(tri), ref.tri)
+    hit = ref.tri >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], ref.t[hit],
+                               rtol=1e-5, atol=1e-6)
