@@ -227,6 +227,7 @@ class Renderer:
                 engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
+                         "packet_bfs",
                          "packet_wide", "cpu_golden")
         if engine not in known_engines:
             raise ValueError(
@@ -297,7 +298,8 @@ class Renderer:
                     any_hit=any_hit, rows=rows, interpret=interpret,
                     interleave=2, tris_per_row=wp.tris_per_row,
                 )
-        elif engine in ("packet", "packet_ifif", "packet_ww", "packet_pipe"):
+        elif engine in ("packet", "packet_ifif", "packet_ww", "packet_pipe",
+                        "packet_bfs"):
             # Pallas shared-stack packet kernels (three schedules of the
             # same traversal; see trace/packet_*.py)
             from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
@@ -326,6 +328,8 @@ class Renderer:
                 forest = engine == "packet" and est_bytes > VMEM_BUDGET
             if not forest and not self._direct:
                 self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
+                if engine == "packet_bfs":
+                    npr = 1   # batch loads want direct row addressing
                 packed = pack_bvh(self.flat, scene.tri_verts(),
                                   tris_per_row=tpr, nodes_per_row=npr)
                 self.packed = packed
@@ -353,6 +357,16 @@ class Renderer:
                         order="code", tris_per_row=packed.tris_per_row,
                         nodes_per_row=packed.nodes_per_row,
                         leaf_unroll=self.leaf_unroll, interleave=ilv,
+                    )
+            elif engine == "packet_bfs":
+                from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
+
+                def _tracer(o, d, tn, tx, any_hit):
+                    return trace_packet_bfs(
+                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                        any_hit=any_hit, rows=max(rows, 8),
+                        interpret=interpret,
+                        tris_per_row=packed.tris_per_row,
                     )
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif

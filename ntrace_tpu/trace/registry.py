@@ -73,6 +73,8 @@ _REGISTRY = {
                               "software-pipelined while-while kernel"),
     "packet_wide": KernelSpec("packet_wide", 1 << 22,
                               "8-wide frustum-interval packet kernel"),
+    "packet_bfs": KernelSpec("packet_bfs", 1 << 22,
+                             "breadth-first node-batch packet kernel"),
     # "auto"/"wavefront" resolve inside Renderer (ONE resolution path shared
     # by the CLI, bench.py, and the matrix script): packet on TPU backends,
     # stack2 elsewhere. The wavefront name = the packet engine fed by the

@@ -44,20 +44,58 @@ def wall(fn, reps=3):
     return best
 
 
-# --- 1. reduce-form microprobe ------------------------------------------
+# --- 1. reduce-form + batch-step microprobes ------------------------------
 
 def _reduce_probe_kernel(red: str, iters: int):
-    def kernel(tab_ref, out_ref):
+    def kernel(tab_ref, out_ref, *scratch):
         def body(i, carry):
             node, acc = carry
             row = tab_ref[pl.ds(node, 1), :]
             m = (row > 0.5).astype(jnp.int32)
             if red == "sum":
                 r = jnp.sum(m << 16 | m)
+            elif red == "sum4":
+                # 4 INDEPENDENT packed reduces (the BFS node-batch needs
+                # 16 any-bit fields = 4 int32 reduces; if their latencies
+                # overlap this is ~1 reduce + small issue cost, not 4x).
+                r = jnp.int32(0)
+                for q in range(4):
+                    r = r | (jnp.sum((m >> q) << 16 | m) & (255 << (8 * q)))
             elif red == "or":
                 r = jnp.bitwise_or.reduce(m << 16 | m)
             elif red == "max":
                 r = jnp.max(m << 16 | m)
+            elif red == "roll1row":
+                # sublane-OR fold to (1,128) then 7 lane-roll ORs + one
+                # extract: the reduce-free 16-bit verdict path.
+                p = m
+                w = p.shape[0]
+                while w > 1:
+                    w //= 2
+                    p = p[:w] | p[w:2 * w]
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    p = p | pltpu.roll(p, sh, axis=1)
+                r = p[0, 0]
+            elif red == "load8":
+                # 8 independent row loads + slab-ish VPU + ONE reduce:
+                # the BFS batch step's load pattern (loads should overlap
+                # near-perfectly per the round-2 pointer-chase probe).
+                acc_v = jnp.zeros_like(m)
+                for q in range(8):
+                    rq = tab_ref[pl.ds((node + q * 37) & 1023, 1), :]
+                    acc_v = acc_v | ((rq > 0.5).astype(jnp.int32) << q)
+                r = jnp.sum(acc_v)
+            elif red == "smem16":
+                # 16 masked SMEM writes + counter advances (the BFS
+                # push path). junk slot = index 255.
+                sq = scratch[0]
+                sp = jnp.int32(0)
+                r = jnp.sum(m)
+                for q in range(16):
+                    hit = ((r >> q) & 1) > 0
+                    sq[jnp.where(hit, jnp.minimum(sp, 254), 255)] = r + q
+                    sp = sp + hit.astype(jnp.int32)
+                r = r + sp
             else:  # "none": pointer chase only
                 r = row[0, 0].astype(jnp.int32)
             node = (node * 1103515245 + 12345 + (r & 1)) & 1023
@@ -71,7 +109,8 @@ def _reduce_probe_kernel(red: str, iters: int):
 
 def reduce_probe():
     tab = jnp.asarray(np.random.default_rng(0).random((1024, 128), np.float32))
-    for red in ("none", "sum", "or", "max"):
+    for red in ("none", "sum", "sum4", "or", "max", "roll1row", "load8",
+                "smem16"):
         try:
             times = {}
             for iters in (1024, 8192):
@@ -80,6 +119,7 @@ def reduce_probe():
                     out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
                     in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
                     out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+                    scratch_shapes=[pltpu.SMEM((256,), jnp.int32)],
                 )
                 g = jax.jit(lambda t, f=f: f(t))
                 jax.block_until_ready(g(tab))
@@ -161,6 +201,22 @@ def conference_section():
         print(f"[r3b] packet16_{name}: {RESULTS[f'packet16_{name}']}",
               flush=True)
         save()
+
+    # BFS node-batch kernel (needs nodes_per_row=1 tables).
+    if npr == 1:
+        from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
+
+        for rows_b in (16, 8):
+            def fb(o, d, tn, tx, rows_b=rows_b):
+                return trace_packet_bfs(nodes_d, tris_d, o, d, tn, tx,
+                                        rows=rows_b, tris_per_row=tpr)
+            marg, walls = chain_time(fb, args)
+            key = f"packet_bfs{rows_b}"
+            RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
+                                mrays=round(R / 1e6 / marg, 1),
+                                wall1_ms=round(walls[1] * 1e3, 1))
+            print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
+            save()
 
 
 # --- 3. LBVH chain anomaly ------------------------------------------------

@@ -239,3 +239,30 @@ def test_forest_path_matches_single_chunk(soup_small, monkeypatch):
     r_on = [np.asarray(x) for x in on._tracer(*args2, False)]
     for i, name in enumerate(("tri", "t", "u", "v")):
         np.testing.assert_array_equal(r_off[i], r_on[i], err_msg=name)
+
+
+def test_packet_bfs_matches_golden(soup_small, rng):
+    """BFS node-batch kernel (trace/packet_bfs.py): identical results to
+    brute force for closest-hit and any-hit (visit order invariance)."""
+    from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
+
+    flat = flatten_bvh(
+        build_sbvh(soup_small, BuildConfig(builder="binned_sah")), soup_small)
+    packed = pack_bvh(flat, soup_small.tri_verts(),
+                      tris_per_row=12, nodes_per_row=1)
+    orig, dirn, tmin, tmax = random_rays(rng, 700)
+    tmax = np.minimum(tmax, 1e9).astype(np.float32)
+    tri, t, u, v = trace_packet_bfs(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=8, interpret=True)
+    ref = brute_force_mt(soup_small, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri), ref.tri)
+    hit = ref.tri >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], ref.t[hit],
+                               rtol=1e-5, atol=1e-6)
+    tmax2 = np.full_like(tmax, 14.0)
+    tri2, *_ = trace_packet_bfs(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax2,
+        rows=8, interpret=True, any_hit=True)
+    blocked = brute_force_anyhit(soup_small, orig, dirn, tmin, tmax2)
+    np.testing.assert_array_equal(np.asarray(tri2) >= 0, blocked)
