@@ -367,6 +367,7 @@ class Renderer:
                         any_hit=any_hit, rows=max(rows, 8),
                         interpret=interpret,
                         tris_per_row=packed.tris_per_row,
+                        leaf_unroll=self.leaf_unroll,
                     )
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif

@@ -48,7 +48,8 @@ MAX_STEPS = 1_000_000
 B = 8                       # nodes popped per step
 
 
-def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False):
+def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
+                 lu: int = 1):
     shape = (rows, 128)
 
     def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, stack_ref,
@@ -83,9 +84,38 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False):
             operand-broadcast form); bit-identical results."""
             def lbody(k, hs):
                 cur_t, cur_id, cur_u, cur_v = hs
-                trow = tris_ref[pl.ds(row0 + k, 1), :]
-                tb = jnp.broadcast_to(trow, (rows, 128))
-                ln = lambda c: tb[:, c: c + 1]
+                # lu > 1: issue the (independent) row loads together so
+                # their latencies overlap; stray rows past a run's end
+                # are a neighbour's real triangles or inert pad rows,
+                # both closest/any-hit safe (bvh/packed.py).
+                tbs = [jnp.broadcast_to(
+                    tris_ref[pl.ds(row0 + k * lu + u_i, 1), :], (rows, 128))
+                    for u_i in range(lu)]
+                cands = []
+                for tb in tbs:
+                    ln = lambda c, tb=tb: tb[:, c: c + 1]
+                    cands.extend(_mt_row(ln))
+                while len(cands) > 1:
+                    nxt = []
+                    for a, bnd in zip(cands[0::2], cands[1::2]):
+                        take = (bnd[0] < a[0]) | ((bnd[0] == a[0])
+                                                  & (bnd[1] < a[1]))
+                        nxt.append(tuple(
+                            jnp.where(take, bnd[i], a[i])
+                            for i in range(2 if light else 4)))
+                    if len(cands) % 2:
+                        nxt.append(cands[-1])
+                    cands = nxt
+                bt, bid = cands[0][0], cands[0][1]
+                acc = (bt < cur_t) | ((bt == cur_t) & (bid < cur_id))
+                cur_t = jnp.where(acc, bt, cur_t)
+                cur_id = jnp.where(acc, bid, cur_id)
+                if not light:
+                    cur_u = jnp.where(acc, cands[0][2], cur_u)
+                    cur_v = jnp.where(acc, cands[0][3], cur_v)
+                return cur_t, cur_id, cur_u, cur_v
+
+            def _mt_row(ln):
                 cands = []
                 for jj in range(tpr):
                     b = TRI_LANES * jj
@@ -113,27 +143,10 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False):
                         jnp.where(valid, tid, jnp.int32(0x7FFFFFFF)),
                         u, v,
                     ))
-                while len(cands) > 1:
-                    nxt = []
-                    for a, bnd in zip(cands[0::2], cands[1::2]):
-                        take = (bnd[0] < a[0]) | ((bnd[0] == a[0])
-                                                  & (bnd[1] < a[1]))
-                        nxt.append(tuple(
-                            jnp.where(take, bnd[i], a[i])
-                            for i in range(2 if light else 4)))
-                    if len(cands) % 2:
-                        nxt.append(cands[-1])
-                    cands = nxt
-                bt, bid = cands[0][0], cands[0][1]
-                acc = (bt < cur_t) | ((bt == cur_t) & (bid < cur_id))
-                cur_t = jnp.where(acc, bt, cur_t)
-                cur_id = jnp.where(acc, bid, cur_id)
-                if not light:
-                    cur_u = jnp.where(acc, cands[0][2], cur_u)
-                    cur_v = jnp.where(acc, cands[0][3], cur_v)
-                return cur_t, cur_id, cur_u, cur_v
+                return cands
 
-            return jax.lax.fori_loop(0, nrows, lbody, hs)
+            n_it = nrows if lu == 1 else (nrows + (lu - 1)) // lu
+            return jax.lax.fori_loop(0, n_it, lbody, hs)
 
         def cond(c):
             return (c[1] > 0) & (c[0] < MAX_STEPS)
@@ -249,12 +262,13 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False):
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit",
-                     "tris_per_row", "light"),
+                     "tris_per_row", "light", "leaf_unroll"),
 )
 def trace_packet_bfs(nodes8, tris12, orig, dirn, tmin, tmax, *,
                      any_hit: bool = False, rows: int = 16,
                      interpret: bool = False, vmem_limit: int = 0,
-                     tris_per_row: int = 12, light: bool = False):
+                     tris_per_row: int = 12, light: bool = False,
+                     leaf_unroll: int = 1):
     """Trace rays through a PackedBVH (nodes_per_row == 1) with the
     BFS node-batch kernel. Same contract as trace_packet."""
     if rows % 8 != 0:
@@ -301,7 +315,7 @@ def trace_packet_bfs(nodes8, tris12, orig, dirn, tmin, tmax, *,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=limit)
     outs = pl.pallas_call(
-        _make_kernel(rows, any_hit, tris_per_row, light),
+        _make_kernel(rows, any_hit, tris_per_row, light, leaf_unroll),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=[outf_spec, outi_spec],

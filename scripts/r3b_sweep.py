@@ -209,7 +209,8 @@ def conference_section():
         for rows_b in (16, 8):
             def fb(o, d, tn, tx, rows_b=rows_b):
                 return trace_packet_bfs(nodes_d, tris_d, o, d, tn, tx,
-                                        rows=rows_b, tris_per_row=tpr)
+                                        rows=rows_b, tris_per_row=tpr,
+                                        leaf_unroll=lu)
             marg, walls = chain_time(fb, args)
             key = f"packet_bfs{rows_b}"
             RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
