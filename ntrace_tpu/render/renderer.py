@@ -180,9 +180,13 @@ class Renderer:
         # round trip, no host pack_bvh. Per-frame rebuild cost IS this
         # build (BASELINE config #4).
         self._direct = False
+        import os as _os
         if (flat is None and cfg.engine in ("auto", "packet")
                 and build_cfg.builder == "lbvh"
-                and jax.default_backend() in ("tpu", "axon")):
+                and (jax.default_backend() in ("tpu", "axon")
+                     # test hook: exercise the direct path off-TPU (the
+                     # kernel then runs interpreted as usual)
+                     or _os.environ.get("NTRACE_DIRECT") == "1")):
             tri_rows = -(-scene.num_tris // 12)
             node_rows = (int(scene.num_tris * 3.2
                              / (build_cfg.max_leaf_size + 4)) + 256)
@@ -222,8 +226,8 @@ class Renderer:
             # forest (bvh/forest.py) when they don't. Off-TPU the packet
             # kernel only runs interpreted (test-speed), so auto avoids it.
             engine = "stack2"
-            if jax.default_backend() in ("tpu", "axon") and (
-                    self._direct or isinstance(self.flat, FlatBVH)):
+            if self._direct or (jax.default_backend() in ("tpu", "axon")
+                                and isinstance(self.flat, FlatBVH)):
                 engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",

@@ -206,3 +206,29 @@ def test_lbvh_packed_direct_matches_brute(n, ml, tpr, npr, rng):
     hit = ref.tri >= 0
     np.testing.assert_allclose(np.asarray(t)[hit], ref.t[hit],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_renderer_direct_path_matches_flat(monkeypatch):
+    """The Renderer's packed-direct lbvh path (device tables, no FlatBVH
+    round trip) must produce the same hits as the flat-path render."""
+    import os
+    from ntrace_tpu.core import RenderConfig
+    from ntrace_tpu.render.renderer import Renderer
+
+    scene = get_scene("conference", n_tris=4000)
+    bcfg = BuildConfig(builder="lbvh", max_leaf_size=8)
+    cfg = RenderConfig(width=64, height=48, engine="auto", packet_rows=8)
+    from ntrace_tpu.scenes import default_camera
+    cam = default_camera("conference")
+
+    monkeypatch.setenv("NTRACE_DIRECT", "1")
+    r_direct = Renderer(scene, bcfg, cfg)
+    assert r_direct.engine == "packet" and r_direct._direct
+    res_d = r_direct.render(cam, mode="primary")
+
+    monkeypatch.delenv("NTRACE_DIRECT")
+    r_flat = Renderer(scene, bcfg, cfg)
+    assert not r_flat._direct
+    res_f = r_flat.render(cam, mode="primary")
+    np.testing.assert_array_equal(res_d.hit_tri, res_f.hit_tri)
+    np.testing.assert_array_equal(res_d.image, res_f.image)
