@@ -196,9 +196,12 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
                 return ((vs[s // 4] >> (8 * (s % 4))) & 255) > 0
 
             # --- route 16 children: masked SMEM pushes ------------------
+            # Reverse batch order: batch slot 0 was the top of the stack
+            # (nearest priority), so its children must be pushed LAST to
+            # pop first next step -- keeps the DFS-ish near-first order.
             hs = (hit_t, hit_id, hit_u, hit_v)
             lqc = jnp.int32(0)
-            for j in range(B):
+            for j in reversed(range(B)):
                 rec = recs[j]
                 enc0 = rec[0, 12].astype(jnp.int32)
                 enc1 = rec[0, 13].astype(jnp.int32)
