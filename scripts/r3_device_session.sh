@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 device session: run once the axon tunnel is back.
+# ONE process at a time (tunnel rule); stages ordered by information/cost.
+# Usage: nohup bash scripts/r3_device_session.sh > /tmp/r3dev.log 2>&1 &
+#        echo $! > /tmp/r3dev.pid
+set -x
+cd "$(dirname "$0")/.."
+
+# 1. Microprobes + conference A/Bs + LBVH anomaly (cheapest, most load-bearing)
+python scripts/r3b_sweep.py
+
+# 2. LBVH binding-target probe, both emissions, both leaf profiles
+NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=8  NTRACE_PROBE_SIZES=1000000 \
+    python scripts/lbvh_build_probe.py
+NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=32 NTRACE_PROBE_SIZES=1000000 \
+    python scripts/lbvh_build_probe.py
+NTRACE_LBVH_EMIT=flat   NTRACE_PROBE_ML=8  NTRACE_PROBE_SIZES=1000000 \
+    python scripts/lbvh_build_probe.py
+
+# 3. Headline (protocol-identical to BENCH_r02)
+python bench.py
+
+# 4. Five-config matrix (longest; caches pre-warmed)
+python scripts/benchmark_matrix.py
+
+echo "R3 DEVICE SESSION DONE"
