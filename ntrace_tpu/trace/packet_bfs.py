@@ -49,7 +49,7 @@ B = 8                       # nodes popped per step
 
 
 def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
-                 lu: int = 1):
+                 lu: int = 1, verdict: str = "sum4"):
     shape = (rows, 128)
 
     def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, stack_ref,
@@ -176,24 +176,33 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
                 p = (p | jnp.where(act, h0, False).astype(jnp.int32) << (2 * j)
                      | jnp.where(act, h1, False).astype(jnp.int32) << (2 * j + 1))
 
-            # --- verdict: sublane-OR fold, then 4 independent packed
-            # reduces (each int32 holds 4 fields of 8 bits; <=128 lanes
-            # contribute <=1 each after the fold, so fields never
-            # overflow). Independent reduces overlap their latencies.
+            # --- verdict: sublane-OR fold, then either 4 independent
+            # packed reduces (each int32 holds 4 fields of 8 bits; <=128
+            # lanes contribute <=1 each after the fold, so fields never
+            # overflow -- independent reduces overlap their latencies) or
+            # a 7-step lane roll-OR tree + ONE extract (verdict="roll").
             w = rows
             while w > 1:
                 w //= 2
                 p = p[:w] | p[w:2 * w]
-            vs = []
-            for k in range(4):
-                q = (((p >> (4 * k)) & 1)
-                     | (((p >> (4 * k + 1)) & 1) << 8)
-                     | (((p >> (4 * k + 2)) & 1) << 16)
-                     | (((p >> (4 * k + 3)) & 1) << 24))
-                vs.append(jnp.sum(q))
+            if verdict == "roll":
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    p = p | pltpu.roll(p, sh, axis=1)
+                vbits = p[0, 0]
 
-            def bit(s):  # any-hit bool of child slot s (0..15)
-                return ((vs[s // 4] >> (8 * (s % 4))) & 255) > 0
+                def bit(s):  # any-hit bool of child slot s (0..15)
+                    return ((vbits >> s) & 1) > 0
+            else:
+                vs = []
+                for k in range(4):
+                    q = (((p >> (4 * k)) & 1)
+                         | (((p >> (4 * k + 1)) & 1) << 8)
+                         | (((p >> (4 * k + 2)) & 1) << 16)
+                         | (((p >> (4 * k + 3)) & 1) << 24))
+                    vs.append(jnp.sum(q))
+
+                def bit(s):  # any-hit bool of child slot s (0..15)
+                    return ((vs[s // 4] >> (8 * (s % 4))) & 255) > 0
 
             # --- route 16 children: masked SMEM pushes ------------------
             # Reverse batch order: batch slot 0 was the top of the stack
@@ -265,13 +274,13 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit",
-                     "tris_per_row", "light", "leaf_unroll"),
+                     "tris_per_row", "light", "leaf_unroll", "verdict"),
 )
 def trace_packet_bfs(nodes8, tris12, orig, dirn, tmin, tmax, *,
                      any_hit: bool = False, rows: int = 16,
                      interpret: bool = False, vmem_limit: int = 0,
                      tris_per_row: int = 12, light: bool = False,
-                     leaf_unroll: int = 1):
+                     leaf_unroll: int = 1, verdict: str = "sum4"):
     """Trace rays through a PackedBVH (nodes_per_row == 1) with the
     BFS node-batch kernel. Same contract as trace_packet."""
     if rows % 8 != 0:
@@ -318,7 +327,8 @@ def trace_packet_bfs(nodes8, tris12, orig, dirn, tmin, tmax, *,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=limit)
     outs = pl.pallas_call(
-        _make_kernel(rows, any_hit, tris_per_row, light, leaf_unroll),
+        _make_kernel(rows, any_hit, tris_per_row, light, leaf_unroll,
+                     verdict),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=[outf_spec, outi_spec],
