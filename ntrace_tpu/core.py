@@ -244,6 +244,13 @@ class RenderConfig:
     #                            prepass packets are incoherent and traversal
     #                            is not tmax-bound) -- kept as an exact,
     #                            tested option: "on" | "auto" (packet) | "off"
+    compact_rays: str = "auto"  # between-pass live-ray compaction: after
+    #                            the secondary-ray Morton sort puts dead
+    #                            rays last, trace only the live prefix
+    #                            (render/renderer.py _compact_trace --
+    #                            the reference's kepler_dynamic_fetch
+    #                            capability at shape level).
+    #                            "on" | "off" | "auto" (live < 3/4)
     compact_forest: str = "auto"  # chunk-membership ray compaction in the
     #                            multi-chunk forest path (the reference's
     #                            kepler_dynamic_fetch capability, SURVEY.md

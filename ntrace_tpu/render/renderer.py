@@ -167,6 +167,43 @@ def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
                   file=sys.stderr)
 
 
+def _compact_trace(tracer, batch: RayBatch, cap: int, any_hit: bool,
+                   compact: str = "auto"):
+    """Trace only the live prefix of a dead-at-end-sorted batch.
+
+    The reference's kepler_dynamic_fetch keeps lanes full by fetching
+    fresh rays as lanes terminate (SURVEY.md SS3.3). The TPU analogue is
+    shape-level: morton_sort_rays already sorts dead rays (tmax <= tmin)
+    to the END, so between-pass compaction is just truncating to the live
+    prefix -- whole packets of dead rays are never dispatched. The prefix
+    is padded to a power of two (>=8192) so at most ~log2(R) distinct
+    kernel shapes ever compile; results are padded back to full length
+    with miss sentinels.
+
+    Callers must pass a batch whose dead rays are at the end (i.e. after
+    morton_sort_rays); `compact` in {"on", "off", "auto"} -- auto engages
+    when the live fraction is below 3/4 (one host sync of a scalar sum,
+    piggybacking on the per-stage block_until_ready the renderer already
+    does).
+    """
+    n = batch.num_rays
+    if compact != "off" and n > 8192:
+        live = int(jnp.sum(batch.tmax > batch.tmin))
+        padded = max(8192, 1 << max(live - 1, 1).bit_length())
+        if padded < n and (compact == "on" or live <= (3 * n) // 4):
+            sub = RayBatch(batch.orig[:padded], batch.dirn[:padded],
+                           batch.tmin[:padded], batch.tmax[:padded],
+                           None)
+            tri, t, u, v = _trace_batched(tracer, sub, cap, any_hit)
+            pad = n - padded
+            tri = jnp.concatenate([tri, jnp.full((pad,), -1, tri.dtype)])
+            t = jnp.concatenate([t, jnp.zeros((pad,), t.dtype)])
+            u = jnp.concatenate([u, jnp.zeros((pad,), u.dtype)])
+            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+            return tri, t, u, v
+    return _trace_batched(tracer, batch, cap, any_hit)
+
+
 class Renderer:
     def __init__(self, scene: Scene, build_cfg: BuildConfig = BuildConfig(),
                  cfg: RenderConfig = RenderConfig(), flat: FlatBVH | None = None):
@@ -689,10 +726,13 @@ class Renderer:
                                            direction_major=(mode != "ao"))
                 jax.block_until_ready(sec.tmax)
             with timer.stage(f"trace_{mode}"):
-                stri, st, su, sv = _trace_batched(
-                    self._tracer, sec, self._cap(),
-                    mode == "ao",
-                )
+                if cfg.sort_secondary:  # dead rays are at the end
+                    stri, st, su, sv = _compact_trace(
+                        self._tracer, sec, self._cap(), mode == "ao",
+                        compact=cfg.compact_rays)
+                else:
+                    stri, st, su, sv = _trace_batched(
+                        self._tracer, sec, self._cap(), mode == "ao")
                 jax.block_until_ready(stri)
             timer.count(f"rays_{mode}", sec.num_rays)
             if cfg.sort_secondary:
@@ -775,9 +815,13 @@ class Renderer:
             if cfg.sort_secondary:
                 nb = morton_sort_rays(nb, self.scene_lo, self.scene_hi)
             with timer.stage(f"trace_bounce{b}"):
-                btri, bt, bu, bv = _trace_batched(
-                    self._tracer, nb, self._cap(), False
-                )
+                if cfg.sort_secondary:  # dead rays are at the end
+                    btri, bt, bu, bv = _compact_trace(
+                        self._tracer, nb, self._cap(), False,
+                        compact=cfg.compact_rays)
+                else:
+                    btri, bt, bu, bv = _trace_batched(
+                        self._tracer, nb, self._cap(), False)
                 jax.block_until_ready(btri)
             timer.count(f"rays_bounce{b}", R)
             if cfg.sort_secondary:

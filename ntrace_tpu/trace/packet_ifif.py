@@ -92,8 +92,9 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, ilv: int,
             nidx = jnp.clip(item, 0, nodes_ref.shape[0] * npr - 1)
             rec = _node_record(nodes_ref, nidx, npr)
             live_t = jnp.where(dead, -INF, hit_t) if any_hit else hit_t
-            h0, _ = _slab_child(rec, 0, ox, oy, oz, ix, iy, iz, tn, live_t)
-            h1, _ = _slab_child(rec, 6, ox, oy, oz, ix, iy, iz, tn, live_t)
+            rln = lambda c: rec[0, c]  # scalar lane accessor (see _slab_child)
+            h0, _ = _slab_child(rln, 0, ox, oy, oz, ix, iy, iz, tn, live_t)
+            h1, _ = _slab_child(rln, 6, ox, oy, oz, ix, iy, iz, tn, live_t)
             hs_sum = jnp.sum(h0.astype(jnp.int32) << 16
                              | h1.astype(jnp.int32))
             enc0 = rec[0, 12].astype(jnp.int32)

@@ -23,8 +23,10 @@ python bench.py
 # 4. Five-config matrix (longest; caches pre-warmed)
 python scripts/benchmark_matrix.py
 
-# 5. Incoherent modes: packet vs BFS engines (fairy diffuse/ao)
-ENGINE=packet     ROWS=16,8 python scripts/incoherent_sweep.py
-ENGINE=packet_bfs ROWS=16,8 python scripts/incoherent_sweep.py
+# 5. Incoherent modes: packet vs BFS engines (fairy diffuse/ao),
+#    and live-ray compaction on vs off (VERDICT item 3)
+ENGINE=packet     ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
+ENGINE=packet     ROWS=16   COMPACT=off python scripts/incoherent_sweep.py
+ENGINE=packet_bfs ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 
 echo "R3 DEVICE SESSION DONE"

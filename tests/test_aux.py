@@ -86,3 +86,51 @@ def test_occlusion_frustum_downweights_out_of_view():
     assert w_plain.shape == w_frust.shape == (500,)
     # A narrow frustum over a centered soup must cut some weights.
     assert (w_frust > 0).all() and not np.allclose(w_plain, w_frust)
+
+
+class TestCompactRays:
+    """Between-pass live-ray compaction (_compact_trace) is pixel-exact.
+
+    The reference's kepler_dynamic_fetch capability (SURVEY.md SS3.3):
+    terminated rays must not occupy traversal lanes. The TPU analogue
+    truncates the Morton-sorted batch (dead rays at the end) to a
+    padded live prefix; these tests pin that the truncation + result
+    re-padding is invisible in the image for every secondary-ray mode.
+    """
+
+    @pytest.mark.parametrize("mode", ["ao", "diffuse", "path"])
+    def test_pixel_identical(self, mode):
+        from ntrace_tpu.render import render_frame
+
+        scene = get_scene("conference", n_tris=3000)
+        frames = {}
+        for compact in ("off", "on"):
+            cfg = RenderConfig(width=128, height=72, mode=mode, samples=2,
+                               seed=3, bounces=2, compact_rays=compact)
+            frames[compact] = render_frame(
+                scene, cfg=cfg, build_cfg=BuildConfig(builder="median"))
+        np.testing.assert_array_equal(frames["off"].image,
+                                      frames["on"].image)
+
+    def test_prefix_actually_truncates(self):
+        from ntrace_tpu.ray.raybatch import RayBatch
+        from ntrace_tpu.render.renderer import _compact_trace
+        import jax.numpy as jnp
+
+        n, live = 20000, 5000
+        calls = {}
+
+        def tracer(o, d, tn, tx, any_hit):
+            calls["n"] = o.shape[0]
+            r = o.shape[0]
+            return (jnp.full((r,), 2, jnp.int32), jnp.ones((r,), jnp.float32),
+                    jnp.zeros((r,), jnp.float32), jnp.zeros((r,), jnp.float32))
+
+        tmax = jnp.where(jnp.arange(n) < live, 1.0, 0.0).astype(jnp.float32)
+        b = RayBatch(jnp.zeros((n, 3)), jnp.ones((n, 3)),
+                     jnp.zeros((n,)), tmax, jnp.arange(n, dtype=jnp.int32))
+        tri, t, u, v = _compact_trace(tracer, b, 1 << 20, False, compact="on")
+        assert calls["n"] == 8192  # next pow2 of 5000, floored at 8192
+        assert tri.shape == (n,)
+        assert (np.asarray(tri[:8192]) == 2).all()
+        assert (np.asarray(tri[8192:]) == -1).all()
