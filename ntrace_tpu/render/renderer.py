@@ -268,7 +268,7 @@ class Renderer:
                 engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
-                         "packet_bfs",
+                         "packet_bfs", "packet_dleaf",
                          "packet_wide", "cpu_golden")
         if engine not in known_engines:
             raise ValueError(
@@ -340,7 +340,7 @@ class Renderer:
                     interleave=2, tris_per_row=wp.tris_per_row,
                 )
         elif engine in ("packet", "packet_ifif", "packet_ww", "packet_pipe",
-                        "packet_bfs"):
+                        "packet_bfs", "packet_dleaf"):
             # Pallas shared-stack packet kernels (three schedules of the
             # same traversal; see trace/packet_*.py)
             from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
@@ -409,6 +409,17 @@ class Renderer:
                         interpret=interpret,
                         tris_per_row=packed.tris_per_row,
                         leaf_unroll=self.leaf_unroll,
+                    )
+            elif engine == "packet_dleaf":
+                from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
+
+                def _tracer(o, d, tn, tx, any_hit):
+                    return trace_packet_dleaf(
+                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                        any_hit=any_hit, rows=min(max(rows, 8), 32),
+                        interpret=interpret,
+                        tris_per_row=packed.tris_per_row,
+                        nodes_per_row=packed.nodes_per_row,
                     )
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif

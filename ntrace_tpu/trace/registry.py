@@ -75,6 +75,9 @@ _REGISTRY = {
                               "8-wide frustum-interval packet kernel"),
     "packet_bfs": KernelSpec("packet_bfs", 1 << 22,
                              "breadth-first node-batch packet kernel"),
+    "packet_dleaf": KernelSpec("packet_dleaf", 1 << 22,
+                               "deferred-leaf packet kernel (per-row "
+                               "leaf pairing via SMEM run queues)"),
     # "auto"/"wavefront" resolve inside Renderer (ONE resolution path shared
     # by the CLI, bench.py, and the matrix script): packet on TPU backends,
     # stack2 elsewhere. The wavefront name = the packet engine fed by the

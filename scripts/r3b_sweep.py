@@ -219,6 +219,24 @@ def conference_section():
             print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
             save()
 
+    # Deferred-leaf kernel: per-row leaf pairing (3.9x pair-count ceiling
+    # measured by scripts/leaf_union_probe.py).  rows=32 is the design
+    # target -- node sharing without the lockstep leaf blowup.
+    from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
+
+    for rows_d, dmin in ((16, 0), (32, 0), (16, 8), (32, 64)):
+        def fd(o, d, tn, tx, rows_d=rows_d, dmin=dmin):
+            return trace_packet_dleaf(nodes_d, tris_d, o, d, tn, tx,
+                                      rows=rows_d, tris_per_row=tpr,
+                                      nodes_per_row=npr, drain_min=dmin)
+        marg, walls = chain_time(fd, args)
+        key = f"packet_dleaf{rows_d}_dm{dmin or rows_d}"
+        RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
+                            mrays=round(R / 1e6 / marg, 1),
+                            wall1_ms=round(walls[1] * 1e3, 1))
+        print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
+        save()
+
 
 # --- 3. LBVH chain anomaly ------------------------------------------------
 
