@@ -268,7 +268,7 @@ class Renderer:
                 engine = "packet"
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
-                         "packet_bfs", "packet_dleaf",
+                         "packet_bfs", "packet_dleaf", "packet_bdl",
                          "packet_wide", "cpu_golden")
         if engine not in known_engines:
             raise ValueError(
@@ -340,7 +340,7 @@ class Renderer:
                     interleave=2, tris_per_row=wp.tris_per_row,
                 )
         elif engine in ("packet", "packet_ifif", "packet_ww", "packet_pipe",
-                        "packet_bfs", "packet_dleaf"):
+                        "packet_bfs", "packet_dleaf", "packet_bdl"):
             # Pallas shared-stack packet kernels (three schedules of the
             # same traversal; see trace/packet_*.py)
             from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
@@ -369,7 +369,7 @@ class Renderer:
                 forest = engine == "packet" and est_bytes > VMEM_BUDGET
             if not forest and not self._direct:
                 self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
-                if engine == "packet_bfs":
+                if engine in ("packet_bfs", "packet_bdl"):
                     npr = 1   # batch loads want direct row addressing
                 packed = pack_bvh(self.flat, scene.tri_verts(),
                                   tris_per_row=tpr, nodes_per_row=npr)
@@ -409,6 +409,16 @@ class Renderer:
                         interpret=interpret,
                         tris_per_row=packed.tris_per_row,
                         leaf_unroll=self.leaf_unroll,
+                    )
+            elif engine == "packet_bdl":
+                from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
+
+                def _tracer(o, d, tn, tx, any_hit):
+                    return trace_packet_bdl(
+                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
+                        any_hit=any_hit, rows=min(max(rows, 8), 32),
+                        interpret=interpret,
+                        tris_per_row=packed.tris_per_row,
                     )
             elif engine == "packet_dleaf":
                 from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf

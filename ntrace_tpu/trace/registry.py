@@ -78,6 +78,9 @@ _REGISTRY = {
     "packet_dleaf": KernelSpec("packet_dleaf", 1 << 22,
                                "deferred-leaf packet kernel (per-row "
                                "leaf pairing via SMEM run queues)"),
+    "packet_bdl": KernelSpec("packet_bdl", 1 << 22,
+                             "batched-node + deferred-leaf packet kernel "
+                             "(8 nodes/step, per-row leaf run queues)"),
     # "auto"/"wavefront" resolve inside Renderer (ONE resolution path shared
     # by the CLI, bench.py, and the matrix script): packet on TPU backends,
     # stack2 elsewhere. The wavefront name = the packet engine fed by the

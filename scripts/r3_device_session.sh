@@ -25,8 +25,10 @@ python scripts/benchmark_matrix.py
 
 # 5. Incoherent modes: packet vs BFS engines (fairy diffuse/ao),
 #    and live-ray compaction on vs off (VERDICT item 3)
-ENGINE=packet     ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
-ENGINE=packet     ROWS=16   COMPACT=off python scripts/incoherent_sweep.py
-ENGINE=packet_bfs ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
+ENGINE=packet       ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
+ENGINE=packet       ROWS=16   COMPACT=off python scripts/incoherent_sweep.py
+ENGINE=packet_bfs   ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
+# deferred-leaf: per-row leaf grouping should pay MOST on divergent rays
+ENGINE=packet_dleaf ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 
 echo "R3 DEVICE SESSION DONE"

@@ -219,6 +219,25 @@ def conference_section():
             print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
             save()
 
+    # Combined kernel: BFS node batches + deferred per-row leaves --
+    # the two levers attack independent frame shares (node chain ~42%,
+    # lockstep leaf work ~58% at rows=16).
+    if npr == 1:
+        from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
+
+        for rows_c, dmin in ((16, 0), (32, 0), (16, 64)):
+            def fc(o, d, tn, tx, rows_c=rows_c, dmin=dmin):
+                return trace_packet_bdl(nodes_d, tris_d, o, d, tn, tx,
+                                        rows=rows_c, tris_per_row=tpr,
+                                        drain_min=dmin)
+            marg, walls = chain_time(fc, args)
+            key = f"packet_bdl{rows_c}_dm{dmin or rows_c}"
+            RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
+                                mrays=round(R / 1e6 / marg, 1),
+                                wall1_ms=round(walls[1] * 1e3, 1))
+            print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
+            save()
+
     # Deferred-leaf kernel: per-row leaf pairing (3.9x pair-count ceiling
     # measured by scripts/leaf_union_probe.py).  rows=32 is the design
     # target -- node sharing without the lockstep leaf blowup.

@@ -298,3 +298,37 @@ def test_packet_dleaf_matches_golden(soup_small, rng):
         rows=8, interpret=True, any_hit=True)
     blocked = brute_force_anyhit(soup_small, orig, dirn, tmin, tmax2)
     np.testing.assert_array_equal(np.asarray(tri2) >= 0, blocked)
+
+
+def test_packet_bdl_matches_golden(soup_small, rng):
+    """Batched-node + deferred-leaf kernel (trace/packet_bdl.py):
+    identical results to brute force for closest-hit and any-hit.
+    Covers partial final batches (sp < B), junk-row drains, queue
+    refills, stale-hitT superset visits, and the stack-exhausted tail
+    flush; drain-policy invariance via drain_min=1."""
+    from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
+
+    flat = flatten_bvh(
+        build_sbvh(soup_small, BuildConfig(builder="binned_sah")), soup_small)
+    packed = pack_bvh(flat, soup_small.tri_verts(),
+                      tris_per_row=12, nodes_per_row=1)
+    orig, dirn, tmin, tmax = random_rays(rng, 700)
+    tmax = np.minimum(tmax, 1e9).astype(np.float32)
+    tri, t, u, v = trace_packet_bdl(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=8, interpret=True)
+    ref = brute_force_mt(soup_small, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri), ref.tri)
+    hit = ref.tri >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], ref.t[hit],
+                               rtol=1e-5, atol=1e-6)
+    tri3, t3, _, _ = trace_packet_bdl(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=8, interpret=True, drain_min=1)
+    np.testing.assert_array_equal(np.asarray(tri3), ref.tri)
+    tmax2 = np.full_like(tmax, 14.0)
+    tri2, *_ = trace_packet_bdl(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax2,
+        rows=8, interpret=True, any_hit=True)
+    blocked = brute_force_anyhit(soup_small, orig, dirn, tmin, tmax2)
+    np.testing.assert_array_equal(np.asarray(tri2) >= 0, blocked)
