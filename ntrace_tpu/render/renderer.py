@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +50,29 @@ class RenderResult:
 # Packed-table VMEM budget for the single-chunk packet engine; tests
 # shrink this to force the forest path on tiny scenes.
 VMEM_BUDGET = 96 << 20
+
+
+def _load_tuned() -> dict:
+    """Device-measured engine choice for auto dispatch.
+
+    scripts/pick_tuned.py distills the A/B sweep (results_r3b_sweep.json)
+    into tuned.json at the repo root: {"engine": ..., "packet_rows": ...}.
+    NTRACE_TUNED overrides the path; NTRACE_TUNED=0 disables. Absent or
+    unreadable files mean "no tuning" -- auto keeps its static default.
+    """
+    import json
+
+    path = os.environ.get("NTRACE_TUNED")
+    if path == "0":
+        return {}
+    if not path:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "tuned.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
 
 
 def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
@@ -257,6 +282,8 @@ class Renderer:
             # under the explicit name "kdtree".
             self.flat_kd = self.flat
             self.flat = kd_to_flatbvh(self.flat)
+        self.tuned_rows = 0
+        self.tuned_kw = {}
         if engine in ("auto", "wavefront"):
             # The Pallas packet engine is the fast path everywhere on TPU:
             # single-chunk when the packed tables fit VMEM, Morton-chunked
@@ -266,6 +293,20 @@ class Renderer:
             if self._direct or (jax.default_backend() in ("tpu", "axon")
                                 and isinstance(self.flat, FlatBVH)):
                 engine = "packet"
+                if not self._direct:
+                    # Device-measured kernel choice (scripts/pick_tuned.py
+                    # writes tuned.json from the A/B sweep results): auto
+                    # picks the measured-fastest packet-family schedule.
+                    tuned = _load_tuned()
+                    if tuned.get("engine") in (
+                            "packet", "packet_ifif", "packet_ww",
+                            "packet_pipe", "packet_bfs", "packet_dleaf",
+                            "packet_bdl"):
+                        engine = tuned["engine"]
+                        self.tuned_rows = int(tuned.get("packet_rows", 0))
+                        self.tuned_kw = {
+                            k: tuned[k] for k in ("leafbc", "slabbc")
+                            if tuned.get(k)}
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
                          "packet_bfs", "packet_dleaf", "packet_bdl",
@@ -367,6 +408,13 @@ class Renderer:
                 est_bytes = (-(-self.flat.nodes.shape[0] // npr)
                              + -(-n_refs // tpr)) * 512
                 forest = engine == "packet" and est_bytes > VMEM_BUDGET
+                if engine != "packet" and est_bytes > VMEM_BUDGET:
+                    # tables exceed VMEM and only the packet engine has a
+                    # Morton-chunked forest path: fall back to it rather
+                    # than building an unloadable single-chunk table
+                    # (applies to tuned AND explicit schedule requests).
+                    engine = self.engine = "packet"
+                    forest = True
             if not forest and not self._direct:
                 self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
                 if engine in ("packet_bfs", "packet_bdl"):
@@ -376,7 +424,7 @@ class Renderer:
                 self.packed = packed
                 self.packed_nodes = jax.device_put(jnp.asarray(packed.nodes8))
                 self.packed_tris = jax.device_put(jnp.asarray(packed.tris12))
-            rows = cfg.packet_rows
+            rows = self.tuned_rows or cfg.packet_rows
             # No Mosaic backend off-TPU: tests run the interpreter.
             interpret = jax.default_backend() not in ("tpu", "axon")
 
@@ -398,6 +446,7 @@ class Renderer:
                         order="code", tris_per_row=packed.tris_per_row,
                         nodes_per_row=packed.nodes_per_row,
                         leaf_unroll=self.leaf_unroll, interleave=ilv,
+                        **self.tuned_kw,
                     )
             elif engine == "packet_bfs":
                 from ntrace_tpu.trace.packet_bfs import trace_packet_bfs

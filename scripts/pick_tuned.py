@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Distill the device A/B sweep into tuned.json for auto dispatch.
+
+Reads results_r3b_sweep.json (scripts/r3b_sweep.py, conference-primary
+chained-marginal protocol) and writes {"engine", "packet_rows",
+"mrays", "source_key"} for the fastest packet-family config. The
+renderer's auto resolution (render/renderer.py _load_tuned) consults
+this file on TPU backends, so bench.py and the benchmark matrix pick
+the measured winner without per-script knobs.
+
+Keys are parsed structurally: packet16_<knob> rows=16 base kernel,
+packet_bfs<rows>, packet_dleaf<rows>_dm<d>, packet_bdl<rows>_dm<d>.
+Knob variants (leafbc/slabbc) tune kernel internals, not the engine
+name, so they map to plain "packet".
+"""
+import json
+import os
+import re
+import sys
+
+root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+src = os.path.join(root, "results_r3b_sweep.json")
+with open(src) as f:
+    results = json.load(f)
+
+best = None
+for key, val in results.items():
+    if not isinstance(val, dict) or "mrays" not in val:
+        continue
+    m = re.match(r"packet(?:_(bfs|dleaf|bdl))?(\d+)(?:_.*)?$", key)
+    if not m:
+        continue
+    kind, rows = m.group(1), int(m.group(2))
+    engine = "packet" if kind is None else f"packet_{kind}"
+    cand = dict(engine=engine, packet_rows=rows,
+                mrays=val["mrays"], source_key=key)
+    if kind is None:  # base-kernel knob variants (vector-pipe broadcasts)
+        cand["leafbc"] = "leafbc" in key or "bothbc" in key
+        cand["slabbc"] = "slabbc" in key or "bothbc" in key
+    if best is None or cand["mrays"] > best["mrays"]:
+        best = cand
+
+if best is None:
+    print("[pick_tuned] no packet-family results found; leaving tuned.json")
+    sys.exit(0)
+
+out = os.path.join(root, "tuned.json")
+with open(out, "w") as f:
+    json.dump(best, f, indent=2)
+print(f"[pick_tuned] {best}")

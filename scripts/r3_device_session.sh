@@ -9,6 +9,10 @@ cd "$(dirname "$0")/.."
 # 1. Microprobes + conference A/Bs + LBVH anomaly (cheapest, most load-bearing)
 python scripts/r3b_sweep.py
 
+# 1b. distill the sweep into tuned.json so auto dispatch (bench.py,
+#     matrix) uses the measured-fastest kernel config
+python scripts/pick_tuned.py
+
 # 2. LBVH binding-target probe, both emissions, both leaf profiles
 NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=8  NTRACE_PROBE_SIZES=1000000 \
     python scripts/lbvh_build_probe.py
@@ -30,5 +34,6 @@ ENGINE=packet       ROWS=16   COMPACT=off python scripts/incoherent_sweep.py
 ENGINE=packet_bfs   ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 # deferred-leaf: per-row leaf grouping should pay MOST on divergent rays
 ENGINE=packet_dleaf ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
+ENGINE=packet_bdl   ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 
 echo "R3 DEVICE SESSION DONE"

@@ -1,5 +1,7 @@
 """Occlusion-aware builder + video export."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -134,3 +136,59 @@ class TestCompactRays:
         assert tri.shape == (n,)
         assert (np.asarray(tri[:8192]) == 2).all()
         assert (np.asarray(tri[8192:]) == -1).all()
+
+
+class TestTunedDispatch:
+    """Auto-dispatch tuning plumbing (render/renderer.py _load_tuned +
+    scripts/pick_tuned.py): device-measured winner drives `auto`."""
+
+    def test_load_tuned_env_and_disable(self, tmp_path, monkeypatch):
+        from ntrace_tpu.render.renderer import _load_tuned
+
+        p = tmp_path / "tuned.json"
+        p.write_text('{"engine": "packet_bdl", "packet_rows": 32}')
+        monkeypatch.setenv("NTRACE_TUNED", str(p))
+        assert _load_tuned() == {"engine": "packet_bdl", "packet_rows": 32}
+        monkeypatch.setenv("NTRACE_TUNED", "0")
+        assert _load_tuned() == {}
+        monkeypatch.setenv("NTRACE_TUNED", str(tmp_path / "absent.json"))
+        assert _load_tuned() == {}
+
+    def test_pick_tuned_selects_fastest(self, tmp_path):
+        import json
+        import shutil
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        work = tmp_path / "repo"
+        (work / "scripts").mkdir(parents=True)
+        shutil.copy(os.path.join(root, "scripts", "pick_tuned.py"),
+                    work / "scripts" / "pick_tuned.py")
+        results = {
+            "reduce_sum_ns_per_iter": 8.1,                      # ignored
+            "packet16_base": {"mrays": 40.0},
+            "packet16_bothbc": {"mrays": 44.0},
+            "packet_bfs8": {"mrays": 39.0},
+            "packet_dleaf32_dm32": {"mrays": 61.0},
+            "packet_bdl32_dm32": {"mrays": 95.5},
+            "lbvh_packed_ml8": {"wall1_ms": 60.0},              # ignored
+        }
+        (work / "results_r3b_sweep.json").write_text(json.dumps(results))
+        out = subprocess.run(
+            [sys.executable, str(work / "scripts" / "pick_tuned.py")],
+            capture_output=True, text=True, check=True)
+        tuned = json.loads((work / "tuned.json").read_text())
+        assert tuned["engine"] == "packet_bdl"
+        assert tuned["packet_rows"] == 32
+        assert tuned["source_key"] == "packet_bdl32_dm32"
+        # knob variants map to the base engine WITH their flags
+        results["packet16_bothbc"]["mrays"] = 200.0
+        (work / "results_r3b_sweep.json").write_text(json.dumps(results))
+        subprocess.run(
+            [sys.executable, str(work / "scripts" / "pick_tuned.py")],
+            capture_output=True, text=True, check=True)
+        tuned = json.loads((work / "tuned.json").read_text())
+        assert tuned == {"engine": "packet", "packet_rows": 16,
+                         "mrays": 200.0, "source_key": "packet16_bothbc",
+                         "leafbc": True, "slabbc": True}
