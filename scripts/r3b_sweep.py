@@ -182,6 +182,20 @@ def conference_section():
     args = (batch.orig, batch.dirn, batch.tmin, batch.tmax)
     print(f"[r3b] conference setup done ({time.time()-t0:.0f}s)", flush=True)
 
+    def timed(key, fn):
+        """Chained-marginal timing with per-config failure isolation:
+        one kernel variant failing to compile on device must not kill
+        the rest of the unattended sweep."""
+        try:
+            marg, walls = chain_time(fn, args)
+            RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
+                                mrays=round(R / 1e6 / marg, 1),
+                                wall1_ms=round(walls[1] * 1e3, 1))
+        except Exception as e:  # noqa: BLE001 — record and continue
+            RESULTS[key] = f"failed: {type(e).__name__}: {e}"[:300]
+        print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
+        save()
+
     for name, kw in (
         ("base", {}),
         ("leafbc", dict(leafbc=True)),
@@ -193,14 +207,7 @@ def conference_section():
                                 rows=16, order="code", tris_per_row=tpr,
                                 nodes_per_row=npr, leaf_unroll=lu,
                                 anyred="sum", **kw)
-        marg, walls = chain_time(f, args)
-        RESULTS[f"packet16_{name}"] = dict(
-            marginal_ms=round(marg * 1e3, 2),
-            mrays=round(R / 1e6 / marg, 1),
-            wall1_ms=round(walls[1] * 1e3, 1))
-        print(f"[r3b] packet16_{name}: {RESULTS[f'packet16_{name}']}",
-              flush=True)
-        save()
+        timed(f"packet16_{name}", f)
 
     # BFS node-batch kernel (needs nodes_per_row=1 tables).
     if npr == 1:
@@ -211,13 +218,7 @@ def conference_section():
                 return trace_packet_bfs(nodes_d, tris_d, o, d, tn, tx,
                                         rows=rows_b, tris_per_row=tpr,
                                         leaf_unroll=lu)
-            marg, walls = chain_time(fb, args)
-            key = f"packet_bfs{rows_b}"
-            RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
-                                mrays=round(R / 1e6 / marg, 1),
-                                wall1_ms=round(walls[1] * 1e3, 1))
-            print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
-            save()
+            timed(f"packet_bfs{rows_b}", fb)
 
     # Combined kernel: BFS node batches + deferred per-row leaves --
     # the two levers attack independent frame shares (node chain ~42%,
@@ -230,13 +231,7 @@ def conference_section():
                 return trace_packet_bdl(nodes_d, tris_d, o, d, tn, tx,
                                         rows=rows_c, tris_per_row=tpr,
                                         drain_min=dmin)
-            marg, walls = chain_time(fc, args)
-            key = f"packet_bdl{rows_c}_dm{dmin or rows_c}"
-            RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
-                                mrays=round(R / 1e6 / marg, 1),
-                                wall1_ms=round(walls[1] * 1e3, 1))
-            print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
-            save()
+            timed(f"packet_bdl{rows_c}_dm{dmin or rows_c}", fc)
 
     # Deferred-leaf kernel: per-row leaf pairing (3.9x pair-count ceiling
     # measured by scripts/leaf_union_probe.py).  rows=32 is the design
@@ -248,13 +243,7 @@ def conference_section():
             return trace_packet_dleaf(nodes_d, tris_d, o, d, tn, tx,
                                       rows=rows_d, tris_per_row=tpr,
                                       nodes_per_row=npr, drain_min=dmin)
-        marg, walls = chain_time(fd, args)
-        key = f"packet_dleaf{rows_d}_dm{dmin or rows_d}"
-        RESULTS[key] = dict(marginal_ms=round(marg * 1e3, 2),
-                            mrays=round(R / 1e6 / marg, 1),
-                            wall1_ms=round(walls[1] * 1e3, 1))
-        print(f"[r3b] {key}: {RESULTS[key]}", flush=True)
-        save()
+        timed(f"packet_dleaf{rows_d}_dm{dmin or rows_d}", fd)
 
 
 # --- 3. LBVH chain anomaly ------------------------------------------------
@@ -268,7 +257,7 @@ def lbvh_section():
     tlo, thi = tv.min(axis=1), tv.max(axis=1)
     lo, hi = (jnp.asarray(x) for x in soup.bbox())
 
-    for ml, emit in ((8, "flat"), (8, "packed"), (32, "packed")):
+    def lbvh_one(ml, emit):
         def one(shift, ml=ml, emit=emit):
             if emit == "packed":
                 out = lbvh_device_fast(tlo + shift, thi, tv, lo, hi,
@@ -316,6 +305,16 @@ def lbvh_section():
             unrolled_marginal_ms=round(unr * 1e3, 1))
         print(f"[r3b] lbvh {emit} ml{ml}: {RESULTS[f'lbvh_{emit}_ml{ml}']}", flush=True)
         save()
+
+    for ml, emit in ((8, "flat"), (8, "packed"), (32, "packed")):
+        try:  # per-config isolation for the unattended session
+            lbvh_one(ml, emit)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            RESULTS[f"lbvh_{emit}_ml{ml}"] = (
+                f"failed: {type(e).__name__}: {e}"[:300])
+            print(f"[r3b] lbvh {emit} ml{ml}: {RESULTS[f'lbvh_{emit}_ml{ml}']}",
+                  flush=True)
+            save()
 
 
 def main():
