@@ -409,11 +409,14 @@ class Renderer:
                              + -(-n_refs // tpr)) * 512
                 forest = engine == "packet" and est_bytes > VMEM_BUDGET
                 if engine != "packet" and est_bytes > VMEM_BUDGET:
-                    # tables exceed VMEM and only the packet engine has a
-                    # Morton-chunked forest path: fall back to it rather
-                    # than building an unloadable single-chunk table
-                    # (applies to tuned AND explicit schedule requests).
-                    engine = self.engine = "packet"
+                    # tables exceed VMEM: route through the Morton-chunked
+                    # forest (per-chunk tables fit VMEM individually). The
+                    # forest dispatches the batch-kernel family per chunk;
+                    # other schedules fall back to the packet kernel
+                    # rather than building an unloadable table.
+                    if engine not in ("packet_bfs", "packet_dleaf",
+                                      "packet_bdl"):
+                        engine = self.engine = "packet"
                     forest = True
             if not forest and not self._direct:
                 self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
@@ -430,7 +433,7 @@ class Renderer:
 
             if forest:
                 _tracer = self._make_forest_tracer(
-                    scene, _layout_of, rows, interpret)
+                    scene, _layout_of, rows, interpret, engine)
             elif engine == "packet":
                 from ntrace_tpu.trace.packet_pallas import trace_packet
 
@@ -548,7 +551,8 @@ class Renderer:
         self.scene_scale = float(np.linalg.norm(hi - lo))
         self.eps = jnp.float32(self.scene_scale * 1e-4)
 
-    def _make_forest_tracer(self, scene, layout_of, rows, interpret):
+    def _make_forest_tracer(self, scene, layout_of, rows, interpret,
+                            engine: str = "packet"):
         """Large-scene packet path: Morton-chunked BVH forest.
 
         The packed tables exceed the ~96 MB VMEM budget, so triangles are
@@ -556,6 +560,10 @@ class Renderer:
         packed tables (HBM-resident; VMEM holds one chunk per pallas
         dispatch). Chunks trace sequentially inside the caller's jit with
         per-ray hit state threaded between passes (bvh/forest.py).
+        Per-chunk tables fit VMEM individually, so any batch-family
+        kernel (packet / packet_bfs / packet_dleaf / packet_bdl) can run
+        each chunk pass -- the measured-fastest schedule serves the big
+        scenes too.
         """
         import sys
 
@@ -571,6 +579,8 @@ class Renderer:
             with self.timer.stage("build"):
                 fl = build_accel(sub, self.build_cfg, use_cache=True)
             _, avg_leaf, tpr, npr = layout_of(fl)
+            if engine in ("packet_bfs", "packet_bdl"):
+                npr = 1   # batch loads want direct row addressing
             pk = pack_bvh(fl, sub.tri_verts(), tris_per_row=tpr,
                           nodes_per_row=npr, tri_id_map=ids.astype(np.int64))
             lo_k, hi_k = sub.bbox()
@@ -595,6 +605,40 @@ class Renderer:
             begin = jnp.fmax(jnp.fmin(t0, t1).max(axis=1), tn)
             end = jnp.fmin(jnp.fmax(t0, t1).min(axis=1), tx)
             return begin <= end
+
+        def _chunk_trace(c, o, d, tn, tx_k, any_hit):
+            """One chunk pass with the selected batch-family kernel
+            (identical results across schedules; tests/test_packet.py)."""
+            if engine == "packet_bdl":
+                from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
+
+                return trace_packet_bdl(
+                    c["nodes"], c["tris"], o, d, tn, tx_k,
+                    any_hit=any_hit, rows=min(max(rows, 8), 32),
+                    interpret=interpret, tris_per_row=c["tpr"])
+            if engine == "packet_dleaf":
+                from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
+
+                return trace_packet_dleaf(
+                    c["nodes"], c["tris"], o, d, tn, tx_k,
+                    any_hit=any_hit, rows=min(max(rows, 8), 32),
+                    interpret=interpret, tris_per_row=c["tpr"],
+                    nodes_per_row=c["npr"])
+            if engine == "packet_bfs":
+                from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
+
+                return trace_packet_bfs(
+                    c["nodes"], c["tris"], o, d, tn, tx_k,
+                    any_hit=any_hit, rows=max(rows, 8),
+                    interpret=interpret, tris_per_row=c["tpr"],
+                    leaf_unroll=c["lu"])
+            return trace_packet(
+                c["nodes"], c["tris"], o, d, tn, tx_k,
+                any_hit=any_hit, rows=rows, interpret=interpret,
+                order="code", tris_per_row=c["tpr"],
+                nodes_per_row=c["npr"], leaf_unroll=c["lu"],
+                interleave=1 if rows >= 8 else 8 // rows,
+                **self.tuned_kw)
 
         def _tracer(o, d, tn, tx, any_hit):
             # Miss conventions match the single-chunk kernel: tri=-1, t=tmax,
@@ -643,12 +687,8 @@ class Renderer:
                 # live packets traverse tighter unions.
                 live = _seg_hits(o, d, tn, cur_tx, c["lo"], c["hi"])
                 tx_k = jnp.where(live, cur_tx, tn)
-                tri_k, t_k, u_k, v_k = trace_packet(
-                    c["nodes"], c["tris"], o, d, tn, tx_k,
-                    any_hit=any_hit, rows=rows, interpret=interpret,
-                    order="code", tris_per_row=c["tpr"],
-                    nodes_per_row=c["npr"], leaf_unroll=c["lu"],
-                    interleave=1 if rows >= 8 else 8 // rows)
+                tri_k, t_k, u_k, v_k = _chunk_trace(
+                    c, o, d, tn, tx_k, any_hit)
                 got = tri_k >= 0
                 # Chunk k ran with tmax = best-so-far t, so any hit it
                 # reports is strictly closer (or the ray was dead).

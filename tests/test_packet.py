@@ -332,3 +332,32 @@ def test_packet_bdl_matches_golden(soup_small, rng):
         rows=8, interpret=True, any_hit=True)
     blocked = brute_force_anyhit(soup_small, orig, dirn, tmin, tmax2)
     np.testing.assert_array_equal(np.asarray(tri2) >= 0, blocked)
+
+
+def test_forest_batch_kernel_dispatch(soup_small, monkeypatch):
+    """Forest chunk passes dispatch the batch-family kernel named by the
+    engine (render/renderer.py _chunk_trace): packet_bdl under a shrunken
+    VMEM budget must produce the same closest hits as the single-chunk
+    packet engine."""
+    import jax.numpy as jnp
+
+    from ntrace_tpu.core import RenderConfig
+    from ntrace_tpu.render import renderer as rmod
+    from ntrace_tpu.render.renderer import Renderer
+
+    cfg = BuildConfig(builder="binned_sah", sah_tri_cost=0.1,
+                      max_leaf_size=16)
+    rng = np.random.default_rng(12)
+    o, d, tn, tx = random_rays(rng, 512)
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(tn), jnp.asarray(tx))
+
+    single = Renderer(soup_small, cfg, RenderConfig(engine="packet"))
+    ref = [np.asarray(x) for x in single._tracer(*args, False)]
+
+    monkeypatch.setattr(rmod, "VMEM_BUDGET", 1 << 12)  # force chunking
+    fr = Renderer(soup_small, cfg, RenderConfig(engine="packet_bdl"))
+    assert fr.engine == "packet_bdl" and len(fr.forest) >= 2
+    assert all(c["npr"] == 1 for c in fr.forest)
+    got = [np.asarray(x) for x in fr._tracer(*args, False)]
+    for i, name in enumerate(("tri", "t", "u", "v")):
+        np.testing.assert_array_equal(ref[i], got[i], err_msg=name)
