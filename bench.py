@@ -154,6 +154,8 @@ def main():
         "golden_match": golden_match,
         "golden_mismatches": mismatches,
         "golden_sampled": int(len(sub)),
+        "engine": r.engine,          # tuned.json-resolved kernel, if any
+        "packet_rows": r.tuned_rows or cfg.packet_rows,
     }))
 
 
