@@ -113,15 +113,25 @@ def trace_sharded_stack2(mesh: Mesh, ut, n_nodes, orig, dirn, tmin, tmax,
 
 def trace_sharded_packet(mesh: Mesh, nodes8, tris12, orig, dirn, tmin, tmax,
                          any_hit: bool = False, rows: int = 8,
-                         interpret: bool = False, **kw):
-    """The Pallas packet engine under shard_map: packed tables replicated,
-    rays sharded. On the virtual-CPU test mesh the kernel runs interpreted;
-    on a real TPU mesh it compiles per-chip Mosaic programs."""
-    from ntrace_tpu.trace.packet_pallas import trace_packet
+                         interpret: bool = False, kernel: str = "packet",
+                         **kw):
+    """The Pallas packet-kernel family under shard_map: packed tables
+    replicated, rays sharded. On the virtual-CPU test mesh the kernel runs
+    interpreted; on a real TPU mesh it compiles per-chip Mosaic programs.
+    kernel selects the schedule (packet | packet_bfs | packet_dleaf |
+    packet_bdl; the batch kernels need nodes_per_row=1 tables)."""
+    if kernel == "packet_bdl":
+        from ntrace_tpu.trace.packet_bdl import trace_packet_bdl as tr
+    elif kernel == "packet_dleaf":
+        from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf as tr
+    elif kernel == "packet_bfs":
+        from ntrace_tpu.trace.packet_bfs import trace_packet_bfs as tr
+    else:
+        from ntrace_tpu.trace.packet_pallas import trace_packet as tr
 
     def body(n8, t12, o, d, tn, tx):
-        return trace_packet(n8, t12, o, d, tn, tx, any_hit=any_hit,
-                            rows=rows, interpret=interpret, **kw)
+        return tr(n8, t12, o, d, tn, tx, any_hit=any_hit,
+                  rows=rows, interpret=interpret, **kw)
 
     fn = jax.shard_map(
         body, mesh=mesh,

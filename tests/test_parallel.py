@@ -161,3 +161,25 @@ def test_render_step_sharded_stack2_matches_renderer(soup_medium, mesh8):
     img = np.asarray(fb).reshape(H, W, 3)
     np.testing.assert_array_equal(img, ref.image)
     assert int(hits) == int((ref.hit_tri >= 0).sum())
+
+
+def test_packet_bdl_sharded_matches_single(soup_small, rng, mesh8):
+    """The combined batched-node + deferred-leaf kernel under shard_map:
+    sharded == single, bit-for-bit (multi-chip breadth for the round-3
+    kernel family)."""
+    from ntrace_tpu.bvh.packed import pack_bvh
+    from ntrace_tpu.parallel.mesh import trace_sharded_packet
+    from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
+
+    flat = flatten_bvh(build_sbvh(soup_small, BuildConfig(builder="binned_sah")),
+                       soup_small)
+    pk = pack_bvh(flat, soup_small.tri_verts(), nodes_per_row=1)
+    n8, t12 = jnp.asarray(pk.nodes8), jnp.asarray(pk.tris12)
+    orig, dirn, tmin, tmax = random_rays(rng, 1024)
+    args = (jnp.asarray(orig), jnp.asarray(dirn),
+            jnp.asarray(tmin), jnp.asarray(tmax))
+    sh = trace_sharded_packet(mesh8, n8, t12, *args, rows=8, interpret=True,
+                              kernel="packet_bdl")
+    single = trace_packet_bdl(n8, t12, *args, rows=8, interpret=True)
+    for s, g in zip(sh, single):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
