@@ -65,11 +65,11 @@ from ntrace_tpu.trace.packet_common import (INF, node_record, packet_signs,
 
 STACK_DEPTH = 128
 MAX_STEPS = 4_000_000   # malformed-tree backstop
-QCAP = 96               # queued runs per ray row; overflow drops work
-                        # (bounded by per-packet leaf visits, ~25-50 on
-                        # conference -- 96 leaves 2x headroom; pending
-                        # only counts ACCEPTED pushes so a drop can
-                        # never hang the loop)
+QCAP = 96               # queued runs per ray row. Unreachable by design:
+                        # the drain while-loop keeps pending < drain_min
+                        # (<= 64) after every step and a step pushes <= 2
+                        # runs per row, so depth <= 66 < 96; the junk-slot
+                        # guard is belt-and-braces only.
 
 
 def _mt_tile(tb, ox, oy, oz, dx, dy, dz, tn, tpr: int, light: bool):
@@ -283,12 +283,19 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int, npr: int,
             node2 = jnp.where(need_pop, jnp.where(can_pop, popped, -1), desc)
             sp2 = jnp.where(need_pop & can_pop, sp1 - 1, sp1)
 
-            # Drain when enough rows are queued to fill the tile, or
-            # unconditionally once the stack is exhausted (tail flush).
-            do_drain = (pending >= drain_min) | ((node2 < 0) & (pending > 0))
-            pending, hit_t, hit_id, hit_u, hit_v = jax.lax.cond(
-                do_drain, drain, lambda a: a,
-                (pending, hit_t, hit_id, hit_u, hit_v))
+            # Drain while enough rows are queued to fill the tile, and to
+            # empty once the stack is exhausted (tail flush). A WHILE, not
+            # a single cond: draining back below drain_min every step
+            # bounds per-row queue depth at drain_min + 2 entries (one
+            # step pushes <= 2 runs per row), so the QCAP junk-slot guard
+            # can never be reached and no leaf work is ever dropped --
+            # a single drain per step could fall behind on leaf-dense
+            # scenes (hairball-class) and silently overflow.
+            def dcond(a):
+                return (a[0] >= drain_min) | ((node2 < 0) & (a[0] > 0))
+
+            pending, hit_t, hit_id, hit_u, hit_v = jax.lax.while_loop(
+                dcond, drain, (pending, hit_t, hit_id, hit_u, hit_v))
             if any_hit:
                 all_hit = jnp.all((hit_id >= 0) | dead)
                 node2 = jnp.where(all_hit, jnp.int32(-1), node2)
@@ -330,6 +337,8 @@ def trace_packet_dleaf(nodes8, tris12, orig, dirn, tmin, tmax, *,
         raise ValueError("rows must be a multiple of 8, <= 32 "
                          "(wants-bitmask packs one bit per row in int32)")
     dmin = drain_min or rows
+    if dmin > 64:
+        raise ValueError("drain_min must be <= 64 (QCAP bound)")
     R = orig.shape[0]
     rays_in, grid, rp = stage_rays(orig, dirn, tmin, tmax, rows, 1,
                                    safe_inv_dir)

@@ -361,3 +361,37 @@ def test_forest_batch_kernel_dispatch(soup_small, monkeypatch):
     got = [np.asarray(x) for x in fr._tracer(*args, False)]
     for i, name in enumerate(("tri", "t", "u", "v")):
         np.testing.assert_array_equal(ref[i], got[i], err_msg=name)
+
+
+def test_packet_dleaf_leaf_dense_no_drop(rng):
+    """Leaf-dense stress (hairball-class): fat multi-row leaf runs make
+    queue consumption (one tri-row per drain) lag production (entries per
+    leaf visit), so with the old single-drain-per-step schedule the
+    per-row queues overflowed QCAP here and silently dropped leaf work
+    (wrong closest hits). Guards the drain while-loop invariant
+    (per-row queue depth <= drain_min + 2 < QCAP)."""
+    from ntrace_tpu.scenes import make_random_soup
+    from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
+
+    # Dense cluster: ~200 fat leaves (~8 tri-rows each at tpr=4), every
+    # ray's segment crossing nearly all of them.
+    scene = make_random_soup(n_tris=6400, seed=7, extent=1.0)
+    bvh = build_sbvh(scene, BuildConfig(builder="binned_sah",
+                                        max_leaf_size=32, sah_tri_cost=0.005))
+    flat = flatten_bvh(bvh, scene)
+    packed = pack_bvh(flat, scene.tri_verts(), tris_per_row=4)
+    n = 1024
+    # Rays from a shell aimed through the cluster: every ray's frustum
+    # crosses most leaves.
+    orig = rng.normal(size=(n, 3)).astype(np.float32)
+    orig *= (4.0 / np.linalg.norm(orig, axis=1, keepdims=True))
+    target = rng.uniform(-0.4, 0.4, size=(n, 3)).astype(np.float32)
+    dirn = target - orig
+    dirn /= np.linalg.norm(dirn, axis=1, keepdims=True)
+    tmin = np.zeros((n,), np.float32)
+    tmax = np.full((n,), 1e9, np.float32)
+    tri, t, _, _ = trace_packet_dleaf(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=8, interpret=True, tris_per_row=4, drain_min=64)
+    ref = brute_force_mt(scene, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri), ref.tri)
