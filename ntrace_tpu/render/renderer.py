@@ -293,20 +293,24 @@ class Renderer:
             if self._direct or (jax.default_backend() in ("tpu", "axon")
                                 and isinstance(self.flat, FlatBVH)):
                 engine = "packet"
+                # Device-measured kernel choice (scripts/pick_tuned.py
+                # writes tuned.json from the A/B sweep results): auto
+                # picks the measured-fastest packet-family schedule. The
+                # lbvh packed-direct tables are nodes_per_row=1, so every
+                # batch-family schedule runs on them too; the non-batch
+                # variant schedules need the host repack and stay off the
+                # direct path.
+                allowed = ("packet", "packet_bfs", "packet_dleaf",
+                           "packet_bdl")
                 if not self._direct:
-                    # Device-measured kernel choice (scripts/pick_tuned.py
-                    # writes tuned.json from the A/B sweep results): auto
-                    # picks the measured-fastest packet-family schedule.
-                    tuned = _load_tuned()
-                    if tuned.get("engine") in (
-                            "packet", "packet_ifif", "packet_ww",
-                            "packet_pipe", "packet_bfs", "packet_dleaf",
-                            "packet_bdl"):
-                        engine = tuned["engine"]
-                        self.tuned_rows = int(tuned.get("packet_rows", 0))
-                        self.tuned_kw = {
-                            k: tuned[k] for k in ("leafbc", "slabbc")
-                            if tuned.get(k)}
+                    allowed += ("packet_ifif", "packet_ww", "packet_pipe")
+                tuned = _load_tuned()
+                if tuned.get("engine") in allowed:
+                    engine = tuned["engine"]
+                    self.tuned_rows = int(tuned.get("packet_rows", 0))
+                    self.tuned_kw = {
+                        k: tuned[k] for k in ("leafbc", "slabbc")
+                        if tuned.get(k)}
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
                          "packet_bfs", "packet_dleaf", "packet_bdl",

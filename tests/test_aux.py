@@ -192,3 +192,30 @@ class TestTunedDispatch:
         assert tuned == {"engine": "packet", "packet_rows": 16,
                          "mrays": 200.0, "source_key": "packet16_bothbc",
                          "leafbc": True, "slabbc": True}
+
+    def test_tuned_engine_on_direct_path(self, tmp_path, monkeypatch):
+        """auto + builder=lbvh on the packed-direct path must honour the
+        tuned batch-family engine (direct tables are nodes_per_row=1) and
+        stay pixel-identical to the base packet kernel."""
+        from ntrace_tpu.core import BuildConfig, RenderConfig
+        from ntrace_tpu.render.renderer import Renderer
+        from ntrace_tpu.scenes import default_camera, get_scene
+
+        p = tmp_path / "tuned.json"
+        p.write_text('{"engine": "packet_bdl", "packet_rows": 16}')
+        monkeypatch.setenv("NTRACE_DIRECT", "1")
+        scene = get_scene("conference@4000")
+        cam = default_camera("conference")
+        bc = BuildConfig(builder="lbvh", max_leaf_size=32)
+        cfg = RenderConfig(width=64, height=48, mode="primary",
+                           engine="auto")
+
+        monkeypatch.setenv("NTRACE_TUNED", str(p))
+        r = Renderer(scene, bc, cfg)
+        assert r._direct and r.engine == "packet_bdl" and r.tuned_rows == 16
+        img = np.asarray(r.render(cam).image)
+
+        monkeypatch.setenv("NTRACE_TUNED", "0")
+        r2 = Renderer(scene, bc, cfg)
+        assert r2._direct and r2.engine == "packet"
+        np.testing.assert_array_equal(img, np.asarray(r2.render(cam).image))
