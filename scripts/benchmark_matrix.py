@@ -58,9 +58,49 @@ for name, n, builder, extra, modes, samples in CONFIGS:
                         best[k] = max(best.get(k, 0), v)
             entry = dict(scene=name, tris=scene.num_tris, builder=builder,
                          mode=mode, engine=r.engine, build_s=round(bt,1),
+                         build_ms_per_mtri=round(bt * 1e3
+                                                 / (scene.num_tris / 1e6), 1),
+                         sah_cost=round(float(getattr(flat, "sah_cost", 0.0)
+                                              or 0.0), 2),
                          **{k: round(v,4) for k,v in best.items()})
             results.append(entry)
             print(f"[{name}] {mode}: {entry}", flush=True)
+        # Per-config image-exactness vs the CPU golden tracer (BASELINE:
+        # "image checksum vs the CPU golden tracer"; the round-2 denormal
+        # bug proved device-only corruption is real). Deterministic stride
+        # subsample of the primary rays through the engine actually used.
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ntrace_tpu.ray import pixel_table, raygen
+            from ntrace_tpu.trace.cpu import trace_cpu_golden
+
+            gflat = r.flat if r.flat is not None else flat
+            order_px, _ = pixel_table(1024, 768)
+            batch = raygen.primary(raygen.camera_arrays(cam, 1024, 768),
+                                   1024, 768, jnp.asarray(order_px))
+            sub = np.arange(0, batch.num_rays,
+                            max(batch.num_rays // 2048, 1))
+            o = np.asarray(batch.orig)[sub]
+            d = np.asarray(batch.dirn)[sub]
+            tn = np.asarray(batch.tmin)[sub]
+            tx = np.asarray(batch.tmax)[sub]
+            tri_dev = np.asarray(r._tracer(
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(tn),
+                jnp.asarray(tx), False)[0])
+            rec = trace_cpu_golden(gflat, o, d, tn, tx)
+            mism = int((tri_dev != rec.tri).sum())
+            results.append(dict(scene=name, builder=builder,
+                                golden_sampled=int(len(sub)),
+                                golden_mismatches=mism,
+                                golden_match=mism == 0))
+            print(f"[{name}] golden: {mism}/{len(sub)} mismatches",
+                  flush=True)
+        except Exception as e:  # golden gate must not kill the matrix
+            results.append(dict(scene=name, builder=builder,
+                                golden_error=str(e)[:200]))
+            print(f"[{name}] golden FAILED: {str(e)[:200]}", flush=True)
     except Exception as e:
         print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
         results.append(dict(scene=name, error=str(e)[:200]))
