@@ -126,8 +126,12 @@ def trace_sharded_packet(mesh: Mesh, nodes8, tris12, orig, dirn, tmin, tmax,
         from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf as tr
     elif kernel == "packet_bfs":
         from ntrace_tpu.trace.packet_bfs import trace_packet_bfs as tr
-    else:
+    elif kernel == "packet":
         from ntrace_tpu.trace.packet_pallas import trace_packet as tr
+    else:
+        # strict: a typo silently measured as the base kernel would
+        # poison A/B results
+        raise ValueError(f"unknown packet kernel {kernel!r}")
 
     def body(n8, t12, o, d, tn, tx):
         return tr(n8, t12, o, d, tn, tx, any_hit=any_hit,

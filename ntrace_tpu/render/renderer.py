@@ -409,6 +409,11 @@ class Renderer:
                 self.packed_tris = packed.tris12
             else:
                 n_refs, avg_leaf, tpr, npr = _layout_of(self.flat)
+                if engine in ("packet_bfs", "packet_bdl"):
+                    npr = 1   # batch loads want direct row addressing --
+                    #           size the VMEM estimate with THAT layout,
+                    #           or oversized tables slip past the forest
+                    #           fallback and fail to load on device
                 est_bytes = (-(-self.flat.nodes.shape[0] // npr)
                              + -(-n_refs // tpr)) * 512
                 forest = engine == "packet" and est_bytes > VMEM_BUDGET
@@ -424,8 +429,6 @@ class Renderer:
                     forest = True
             if not forest and not self._direct:
                 self.leaf_unroll = 4 if avg_leaf >= 6.0 else 1
-                if engine in ("packet_bfs", "packet_bdl"):
-                    npr = 1   # batch loads want direct row addressing
                 packed = pack_bvh(self.flat, scene.tri_verts(),
                                   tris_per_row=tpr, nodes_per_row=npr)
                 self.packed = packed
@@ -576,15 +579,31 @@ class Renderer:
         from ntrace_tpu.ops.aabb import safe_inv_dir
         from ntrace_tpu.trace.packet_pallas import trace_packet
 
-        chunks = morton_partition(scene, max_refs=max(VMEM_BUDGET // 64, 1))
+        # Batch kernels need nodes_per_row=1 (8x the node-table bytes):
+        # size the chunks for THAT layout, or the per-chunk tables break
+        # the VMEM budget this path exists to respect.
+        batch_engine = engine in ("packet_bfs", "packet_bdl")
+        per_ref = 160 if batch_engine else 64
+        chunks = morton_partition(scene,
+                                  max_refs=max(VMEM_BUDGET // per_ref, 1))
         self.forest = []
         for ci, ids in enumerate(chunks):
             sub = sub_scene(scene, ids, ci)
             with self.timer.stage("build"):
                 fl = build_accel(sub, self.build_cfg, use_cache=True)
             _, avg_leaf, tpr, npr = layout_of(fl)
-            if engine in ("packet_bfs", "packet_bdl"):
-                npr = 1   # batch loads want direct row addressing
+            if batch_engine:
+                n_refs_c = int((fl.tri_index >= 0).sum())
+                n1_bytes = (fl.nodes.shape[0] + -(-n_refs_c // tpr)) * 512
+                if n1_bytes <= VMEM_BUDGET:
+                    npr = 1   # batch loads want direct row addressing
+                else:
+                    # even the resized chunk can't afford npr=1 (very
+                    # thin leaves): degrade the forest to the base packet
+                    # kernel, which handles any npr -- chunks already
+                    # packed at npr=1 stay valid for it.
+                    batch_engine = False
+                    engine = self.engine = "packet"
             pk = pack_bvh(fl, sub.tri_verts(), tris_per_row=tpr,
                           nodes_per_row=npr, tri_id_map=ids.astype(np.int64))
             lo_k, hi_k = sub.bbox()

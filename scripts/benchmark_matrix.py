@@ -86,11 +86,17 @@ for name, n, builder, extra, modes, samples in CONFIGS:
             d = np.asarray(batch.dirn)[sub]
             tn = np.asarray(batch.tmin)[sub]
             tx = np.asarray(batch.tmax)[sub]
-            tri_dev = np.asarray(r._tracer(
+            dev = r._tracer(
                 jnp.asarray(o), jnp.asarray(d), jnp.asarray(tn),
-                jnp.asarray(tx), False)[0])
+                jnp.asarray(tx), False)
+            tri_dev = np.asarray(dev[0])
+            t_dev = np.asarray(dev[1])
             rec = trace_cpu_golden(gflat, o, d, tn, tx)
-            mism = int((tri_dev != rec.tri).sum())
+            # Exact-t ties between coincident triangles may break by
+            # chunk order on the forest path vs smallest-id on the
+            # global golden tree: different tri at BIT-IDENTICAL t is a
+            # tie, not a corruption.
+            mism = int(((tri_dev != rec.tri) & (t_dev != rec.t)).sum())
             results.append(dict(scene=name, builder=builder,
                                 golden_sampled=int(len(sub)),
                                 golden_mismatches=mism,

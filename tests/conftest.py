@@ -20,10 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Tests must be independent of any device-measured tuned.json at the repo
-# root (auto dispatch consults it on TPU backends only, but keep the
-# isolation explicit and future-proof).
-os.environ.setdefault("NTRACE_TUNED", "0")
+# Tests must be independent of any device-measured tuned.json, including
+# when the shell exports NTRACE_TUNED (the device-session machine does):
+# force-disable, unconditionally. Tests that exercise the tuning plumbing
+# re-set it per-test via monkeypatch.
+os.environ["NTRACE_TUNED"] = "0"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
