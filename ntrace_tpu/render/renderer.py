@@ -283,6 +283,7 @@ class Renderer:
             self.flat_kd = self.flat
             self.flat = kd_to_flatbvh(self.flat)
         self.tuned_rows = 0
+        self.tuned_dmin = 0
         self.tuned_kw = {}
         if engine in ("auto", "wavefront"):
             # The Pallas packet engine is the fast path everywhere on TPU:
@@ -308,6 +309,8 @@ class Renderer:
                 if tuned.get("engine") in allowed:
                     engine = tuned["engine"]
                     self.tuned_rows = int(tuned.get("packet_rows", 0))
+                    self.tuned_dmin = min(int(tuned.get("drain_min", 0)),
+                                          64)
                     self.tuned_kw = {
                         k: tuned[k] for k in ("leafbc", "slabbc")
                         if tuned.get(k)}
@@ -478,6 +481,7 @@ class Renderer:
                         any_hit=any_hit, rows=min(max(rows, 8), 32),
                         interpret=interpret,
                         tris_per_row=packed.tris_per_row,
+                        drain_min=self.tuned_dmin,
                     )
             elif engine == "packet_dleaf":
                 from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
@@ -489,6 +493,7 @@ class Renderer:
                         interpret=interpret,
                         tris_per_row=packed.tris_per_row,
                         nodes_per_row=packed.nodes_per_row,
+                        drain_min=self.tuned_dmin,
                     )
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
@@ -638,7 +643,8 @@ class Renderer:
                 return trace_packet_bdl(
                     c["nodes"], c["tris"], o, d, tn, tx_k,
                     any_hit=any_hit, rows=min(max(rows, 8), 32),
-                    interpret=interpret, tris_per_row=c["tpr"])
+                    interpret=interpret, tris_per_row=c["tpr"],
+                    drain_min=self.tuned_dmin)
             if engine == "packet_dleaf":
                 from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
 
@@ -646,7 +652,7 @@ class Renderer:
                     c["nodes"], c["tris"], o, d, tn, tx_k,
                     any_hit=any_hit, rows=min(max(rows, 8), 32),
                     interpret=interpret, tris_per_row=c["tpr"],
-                    nodes_per_row=c["npr"])
+                    nodes_per_row=c["npr"], drain_min=self.tuned_dmin)
             if engine == "packet_bfs":
                 from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
 

@@ -37,6 +37,9 @@ for key, val in results.items():
     if kind is None:  # base-kernel knob variants (vector-pipe broadcasts)
         cand["leafbc"] = "leafbc" in key or "bothbc" in key
         cand["slabbc"] = "slabbc" in key or "bothbc" in key
+    dm = re.search(r"_dm(\d+)", key)
+    if dm and kind in ("dleaf", "bdl"):
+        cand["drain_min"] = int(dm.group(1))
     if best is None or cand["mrays"] > best["mrays"]:
         best = cand
 

@@ -182,6 +182,7 @@ class TestTunedDispatch:
         assert tuned["engine"] == "packet_bdl"
         assert tuned["packet_rows"] == 32
         assert tuned["source_key"] == "packet_bdl32_dm32"
+        assert tuned["drain_min"] == 32
         # knob variants map to the base engine WITH their flags
         results["packet16_bothbc"]["mrays"] = 200.0
         (work / "results_r3b_sweep.json").write_text(json.dumps(results))
