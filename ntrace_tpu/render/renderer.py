@@ -478,7 +478,7 @@ class Renderer:
                 def _tracer(o, d, tn, tx, any_hit):
                     return trace_packet_bdl(
                         self.packed_nodes, self.packed_tris, o, d, tn, tx,
-                        any_hit=any_hit, rows=min(max(rows, 8), 32),
+                        any_hit=any_hit, rows=min(max(rows, 8), 64),
                         interpret=interpret,
                         tris_per_row=packed.tris_per_row,
                         drain_min=self.tuned_dmin,
@@ -642,7 +642,7 @@ class Renderer:
 
                 return trace_packet_bdl(
                     c["nodes"], c["tris"], o, d, tn, tx_k,
-                    any_hit=any_hit, rows=min(max(rows, 8), 32),
+                    any_hit=any_hit, rows=min(max(rows, 8), 64),
                     interpret=interpret, tris_per_row=c["tpr"],
                     drain_min=self.tuned_dmin)
             if engine == "packet_dleaf":

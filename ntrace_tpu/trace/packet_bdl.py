@@ -311,9 +311,11 @@ def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
     (0 -> rows, i.e. expect a mostly-full tile); <= 64 so per-row
     queue depth stays under QCAP.
     """
-    if rows % 8 != 0 or rows > 32:
-        raise ValueError("rows must be a multiple of 8, <= 32 "
-                         "(wants masks pack one 16-bit field per row)")
+    if rows % 8 != 0 or rows > 64:
+        # unlike dleaf's 1-bit-per-row int32 mask, the 16-bit-per-row /
+        # 2-rows-per-int32 extraction scales to any row count; 64 is the
+        # largest packet the VPU register budget plausibly tolerates
+        raise ValueError("rows must be a multiple of 8, <= 64")
     dmin = drain_min or rows
     if dmin > 64:
         raise ValueError("drain_min must be <= 64 (QCAP bound)")

@@ -226,7 +226,7 @@ def conference_section():
     if npr == 1:
         from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
 
-        for rows_c, dmin in ((16, 0), (32, 0), (16, 64)):
+        for rows_c, dmin in ((16, 0), (32, 0), (16, 64), (64, 0)):
             def fc(o, d, tn, tx, rows_c=rows_c, dmin=dmin):
                 return trace_packet_bdl(nodes_d, tris_d, o, d, tn, tx,
                                         rows=rows_c, tris_per_row=tpr,

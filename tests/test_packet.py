@@ -395,3 +395,24 @@ def test_packet_dleaf_leaf_dense_no_drop(rng):
         rows=8, interpret=True, tris_per_row=4, drain_min=64)
     ref = brute_force_mt(scene, orig, dirn, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(tri), ref.tri)
+
+
+def test_packet_bdl_rows64_matches_golden(soup_small, rng):
+    """rows=64 (the largest packet): per-row wants extraction uses 32
+    independent packed reduces; results identical to brute force."""
+    from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
+
+    flat = flatten_bvh(
+        build_sbvh(soup_small, BuildConfig(builder="binned_sah")), soup_small)
+    packed = pack_bvh(flat, soup_small.tri_verts(),
+                      tris_per_row=12, nodes_per_row=1)
+    orig, dirn, tmin, tmax = random_rays(rng, 700)
+    tmax = np.minimum(tmax, 1e9).astype(np.float32)
+    tri, t, _, _ = trace_packet_bdl(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=64, interpret=True)
+    ref = brute_force_mt(soup_small, orig, dirn, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(tri), ref.tri)
+    hit = ref.tri >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], ref.t[hit],
+                               rtol=1e-5, atol=1e-6)
