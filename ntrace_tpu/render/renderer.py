@@ -75,6 +75,59 @@ def _load_tuned() -> dict:
         return {}
 
 
+def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
+                          lu: int, rows: int, interpret: bool,
+                          tuned_kw: dict, dmin: int):
+    """Tracer constructor for the packet-kernel family, shared by the
+    single-chunk path and every forest chunk pass so the two cannot
+    drift in clamps or knobs. Returns f(o, d, tn, tx, any_hit)."""
+    if engine == "packet_bdl":
+        from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
+
+        rc = min(max(rows, 8), 64)
+
+        def tr(o, d, tn, tx, any_hit):
+            return trace_packet_bdl(
+                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
+                interpret=interpret, tris_per_row=tpr, drain_min=dmin)
+    elif engine == "packet_dleaf":
+        from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
+
+        rc = min(max(rows, 8), 32)
+
+        def tr(o, d, tn, tx, any_hit):
+            return trace_packet_dleaf(
+                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
+                interpret=interpret, tris_per_row=tpr, nodes_per_row=npr,
+                drain_min=dmin)
+    elif engine == "packet_bfs":
+        from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
+
+        rc = max(rows, 8)
+
+        def tr(o, d, tn, tx, any_hit):
+            return trace_packet_bfs(
+                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
+                interpret=interpret, tris_per_row=tpr, leaf_unroll=lu)
+    elif engine == "packet":
+        from ntrace_tpu.trace.packet_pallas import trace_packet
+
+        # Mosaic ray blocks need sublane counts divisible by 8; sub-8-row
+        # packets (incoherent-mode tuning) interleave enough independent
+        # packets to fill the block.
+        ilv = 1 if rows >= 8 else 8 // rows
+
+        def tr(o, d, tn, tx, any_hit):
+            return trace_packet(
+                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rows,
+                interpret=interpret, order="code", tris_per_row=tpr,
+                nodes_per_row=npr, leaf_unroll=lu, interleave=ilv,
+                **tuned_kw)
+    else:
+        raise ValueError(f"not a batch-family packet engine: {engine!r}")
+    return tr
+
+
 def build_accel(scene: Scene, cfg: BuildConfig = BuildConfig(),
                 use_cache: bool = False) -> FlatBVH:
     """Builder dispatch (median now; lbvh/hlbvh/sbvh land in later commits)."""
@@ -444,57 +497,13 @@ class Renderer:
             if forest:
                 _tracer = self._make_forest_tracer(
                     scene, _layout_of, rows, interpret, engine)
-            elif engine == "packet":
-                from ntrace_tpu.trace.packet_pallas import trace_packet
-
-                # Mosaic ray blocks need sublane counts divisible by 8;
-                # sub-8-row packets (incoherent-mode tuning) interleave
-                # enough independent packets to fill the block.
-                ilv = 1 if rows >= 8 else 8 // rows
-
-                def _tracer(o, d, tn, tx, any_hit):
-                    return trace_packet(
-                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
-                        any_hit=any_hit, rows=rows, interpret=interpret,
-                        order="code", tris_per_row=packed.tris_per_row,
-                        nodes_per_row=packed.nodes_per_row,
-                        leaf_unroll=self.leaf_unroll, interleave=ilv,
-                        **self.tuned_kw,
-                    )
-            elif engine == "packet_bfs":
-                from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
-
-                def _tracer(o, d, tn, tx, any_hit):
-                    return trace_packet_bfs(
-                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
-                        any_hit=any_hit, rows=max(rows, 8),
-                        interpret=interpret,
-                        tris_per_row=packed.tris_per_row,
-                        leaf_unroll=self.leaf_unroll,
-                    )
-            elif engine == "packet_bdl":
-                from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
-
-                def _tracer(o, d, tn, tx, any_hit):
-                    return trace_packet_bdl(
-                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
-                        any_hit=any_hit, rows=min(max(rows, 8), 64),
-                        interpret=interpret,
-                        tris_per_row=packed.tris_per_row,
-                        drain_min=self.tuned_dmin,
-                    )
-            elif engine == "packet_dleaf":
-                from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
-
-                def _tracer(o, d, tn, tx, any_hit):
-                    return trace_packet_dleaf(
-                        self.packed_nodes, self.packed_tris, o, d, tn, tx,
-                        any_hit=any_hit, rows=min(max(rows, 8), 32),
-                        interpret=interpret,
-                        tris_per_row=packed.tris_per_row,
-                        nodes_per_row=packed.nodes_per_row,
-                        drain_min=self.tuned_dmin,
-                    )
+            elif engine in ("packet", "packet_bfs", "packet_bdl",
+                            "packet_dleaf"):
+                _tracer = _packet_family_tracer(
+                    engine, self.packed_nodes, self.packed_tris,
+                    tpr=packed.tris_per_row, npr=packed.nodes_per_row,
+                    lu=self.leaf_unroll, rows=rows, interpret=interpret,
+                    tuned_kw=self.tuned_kw, dmin=self.tuned_dmin)
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
 
@@ -582,7 +591,6 @@ class Renderer:
         from ntrace_tpu.bvh.forest import morton_partition, sub_scene
         from ntrace_tpu.bvh.packed import pack_bvh
         from ntrace_tpu.ops.aabb import safe_inv_dir
-        from ntrace_tpu.trace.packet_pallas import trace_packet
 
         # Batch kernels need nodes_per_row=1 (8x the node-table bytes):
         # size the chunks for THAT layout, or the per-chunk tables break
@@ -635,39 +643,16 @@ class Renderer:
             return begin <= end
 
         def _chunk_trace(c, o, d, tn, tx_k, any_hit):
-            """One chunk pass with the selected batch-family kernel
+            """One chunk pass with the selected batch-family kernel --
+            built by the SAME constructor as the single-chunk path
             (identical results across schedules; tests/test_packet.py)."""
-            if engine == "packet_bdl":
-                from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
-
-                return trace_packet_bdl(
-                    c["nodes"], c["tris"], o, d, tn, tx_k,
-                    any_hit=any_hit, rows=min(max(rows, 8), 64),
-                    interpret=interpret, tris_per_row=c["tpr"],
-                    drain_min=self.tuned_dmin)
-            if engine == "packet_dleaf":
-                from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
-
-                return trace_packet_dleaf(
-                    c["nodes"], c["tris"], o, d, tn, tx_k,
-                    any_hit=any_hit, rows=min(max(rows, 8), 32),
-                    interpret=interpret, tris_per_row=c["tpr"],
-                    nodes_per_row=c["npr"], drain_min=self.tuned_dmin)
-            if engine == "packet_bfs":
-                from ntrace_tpu.trace.packet_bfs import trace_packet_bfs
-
-                return trace_packet_bfs(
-                    c["nodes"], c["tris"], o, d, tn, tx_k,
-                    any_hit=any_hit, rows=max(rows, 8),
-                    interpret=interpret, tris_per_row=c["tpr"],
-                    leaf_unroll=c["lu"])
-            return trace_packet(
-                c["nodes"], c["tris"], o, d, tn, tx_k,
-                any_hit=any_hit, rows=rows, interpret=interpret,
-                order="code", tris_per_row=c["tpr"],
-                nodes_per_row=c["npr"], leaf_unroll=c["lu"],
-                interleave=1 if rows >= 8 else 8 // rows,
-                **self.tuned_kw)
+            if "tracer" not in c:
+                c["tracer"] = _packet_family_tracer(
+                    engine, c["nodes"], c["tris"], tpr=c["tpr"],
+                    npr=c["npr"], lu=c["lu"], rows=rows,
+                    interpret=interpret, tuned_kw=self.tuned_kw,
+                    dmin=self.tuned_dmin)
+            return c["tracer"](o, d, tn, tx_k, any_hit)
 
         def _tracer(o, d, tn, tx, any_hit):
             # Miss conventions match the single-chunk kernel: tri=-1, t=tmax,
