@@ -57,6 +57,11 @@ def sort_only(k, tri_lo, tri_hi, lo, hi):
             (codes, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
         return acc + codes.sum().astype(jnp.float32) * 1e-9
 
+    if os.environ.get("NTRACE_PROBE_CHAIN", "fori") == "unroll":
+        acc = jnp.float32(0.0)
+        for i in range(k):
+            acc = body(i, acc)
+        return acc
     return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
 
@@ -85,6 +90,18 @@ def full_build_scalar(k, tri_lo, tri_hi, tv, lo, hi):
                       + out["tri_index"].sum().astype(jnp.float32) * 1e-9
                       + out["node_count"].astype(jnp.float32))
 
+    # Chain protocol knob (round-3 anomaly: a build inside fori_loop costs
+    # ~2.3x its standalone cost -- conservative while-loop buffer
+    # assignment suspected; r3b_sweep.py section 3 discriminates). The
+    # unrolled chain keeps the identical data-dependency structure, so if
+    # the anomaly is the loop construct, "unroll" is the honest
+    # steady-state per-build marginal (per-frame rebuilds are separate
+    # dispatches that XLA may pipeline, like the frame-chain headline).
+    if os.environ.get("NTRACE_PROBE_CHAIN", "fori") == "unroll":
+        acc = jnp.float32(0.0)
+        for i in range(k):
+            acc = body(i, acc)
+        return acc
     return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
 

@@ -13,13 +13,19 @@ python scripts/r3b_sweep.py
 #     matrix) uses the measured-fastest kernel config
 python scripts/pick_tuned.py
 
-# 2. LBVH binding-target probe, both emissions, both leaf profiles
+# 2. LBVH binding-target probe, both emissions, both leaf profiles,
+#    both chain protocols (fori default; unroll = same dependency chain
+#    without the while-loop construct, the r3 anomaly discriminator)
 NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=8  NTRACE_PROBE_SIZES=1000000 \
     python scripts/lbvh_build_probe.py
 NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=32 NTRACE_PROBE_SIZES=1000000 \
     python scripts/lbvh_build_probe.py
 NTRACE_LBVH_EMIT=flat   NTRACE_PROBE_ML=8  NTRACE_PROBE_SIZES=1000000 \
     python scripts/lbvh_build_probe.py
+NTRACE_PROBE_CHAIN=unroll NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=8 \
+    NTRACE_PROBE_SIZES=1000000 python scripts/lbvh_build_probe.py
+NTRACE_PROBE_CHAIN=unroll NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=32 \
+    NTRACE_PROBE_SIZES=1000000 python scripts/lbvh_build_probe.py
 
 # 3. Headline (protocol-identical to BENCH_r02)
 python bench.py
