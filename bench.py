@@ -70,7 +70,18 @@ def main():
     # leaves (tri_cost=0.02, max_leaf=48) halve total traversal units vs
     # the reference Platform defaults (tri_cost=1, leaf~2).
     tri_cost = float(os.environ.get("NTRACE_BENCH_TRICOST", 0.02))
-    max_leaf = int(os.environ.get("NTRACE_BENCH_LEAF", 48))
+    # A device-measured winner may carry a build profile (pick_tuned.py
+    # writes "max_leaf" when an _ml<N> sweep config won); env overrides.
+    tuned_leaf = 48
+    if os.environ.get("NTRACE_TUNED", "1") != "0":
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tuned.json")) as f:
+                tuned_leaf = int(json.load(f).get("max_leaf", 48))
+        except Exception:
+            pass
+    max_leaf = int(os.environ.get("NTRACE_BENCH_LEAF", tuned_leaf))
     build_cfg = BuildConfig(builder=builder, sah_tri_cost=tri_cost,
                             max_leaf_size=max_leaf)
     flat = build_accel(scene, build_cfg, use_cache=True)

@@ -85,11 +85,13 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
         from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
 
         rc = min(max(rows, 8), 64)
+        ms = bool(tuned_kw.get("merge_sibs"))
 
         def tr(o, d, tn, tx, any_hit):
             return trace_packet_bdl(
                 nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
-                interpret=interpret, tris_per_row=tpr, drain_min=dmin)
+                interpret=interpret, tris_per_row=tpr, drain_min=dmin,
+                merge_sibs=ms)
     elif engine == "packet_dleaf":
         from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
 
@@ -365,7 +367,8 @@ class Renderer:
                     self.tuned_dmin = min(int(tuned.get("drain_min", 0)),
                                           64)
                     self.tuned_kw = {
-                        k: tuned[k] for k in ("leafbc", "slabbc")
+                        k: tuned[k]
+                        for k in ("leafbc", "slabbc", "merge_sibs")
                         if tuned.get(k)}
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",

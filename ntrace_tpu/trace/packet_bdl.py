@@ -70,7 +70,7 @@ B = 8                   # nodes popped per step
 
 
 def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
-                 drain_min: int):
+                 drain_min: int, merge_sibs: bool):
     shape = (rows, 128)
 
     def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, stack_ref,
@@ -203,14 +203,21 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                 return jnp.bitwise_and(
                     jax.lax.shift_right_logical(anyb, s), 1) > 0
 
-            def enqueue(s, row0, nrows, pending):
+            def enqueue(s, row0, nrows, pending, s2=-1):
                 """Push (row0, nrows) onto the queue of every row whose
                 wants bit for child slot s is set (branchless junk-slot
-                pushes; independent per-row chains)."""
+                pushes; independent per-row chains). s2 >= 0 ORs a second
+                slot's wants bit in (merged contiguous sibling runs): a
+                row wanting either child tests the union run -- a
+                superset, so closest/any-hit results are unchanged."""
                 accepted = []
                 for r in range(rows):
-                    take = jnp.bitwise_and(jax.lax.shift_right_logical(
-                        ws[r // 2], 16 * (r % 2) + s), 1)
+                    w = jax.lax.shift_right_logical(ws[r // 2],
+                                                    16 * (r % 2))
+                    b = jax.lax.shift_right_logical(w, s)
+                    if s2 >= 0:
+                        b = b | jax.lax.shift_right_logical(w, s2)
+                    take = jnp.bitwise_and(b, 1)
                     qn = qn_ref[r]
                     ok = take & (qn < QCAP).astype(jnp.int32)
                     slot = jnp.where(ok > 0,
@@ -240,16 +247,44 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                 b0 = bit(2 * j)
                 b1 = bit(2 * j + 1)
                 # leaves -> per-row run queues
-                pending = jax.lax.cond(
-                    b0 & (enc0 < 0),
-                    lambda p, j=j, enc0=enc0, cnt0=cnt0:
-                        enqueue(2 * j, -enc0 - 1, cnt0, p),
-                    lambda p: p, pending)
-                pending = jax.lax.cond(
-                    b1 & (enc1 < 0),
-                    lambda p, j=j, enc1=enc1, cnt1=cnt1:
-                        enqueue(2 * j + 1, -enc1 - 1, cnt1, p),
-                    lambda p: p, pending)
+                if merge_sibs:
+                    # Contiguous sibling leaf runs (flatten.py emits
+                    # sibling leaves adjacently) collapse into ONE
+                    # enqueue with OR'd wants: halves the dominant
+                    # per-event 16-row scalar push chain; rows wanting
+                    # only one sibling test a superset (still exact).
+                    l0 = b0 & (enc0 < 0)
+                    l1 = b1 & (enc1 < 0)
+                    contig = (enc0 < 0) & (enc1 < 0) & (
+                        (-enc1 - 1) == (-enc0 - 1) + cnt0)
+                    both = l0 & l1 & contig
+                    pending = jax.lax.cond(
+                        both,
+                        lambda p, j=j, enc0=enc0, cnt0=cnt0, cnt1=cnt1:
+                            enqueue(2 * j, -enc0 - 1, cnt0 + cnt1, p,
+                                    s2=2 * j + 1),
+                        lambda p: p, pending)
+                    pending = jax.lax.cond(
+                        l0 & ~both,
+                        lambda p, j=j, enc0=enc0, cnt0=cnt0:
+                            enqueue(2 * j, -enc0 - 1, cnt0, p),
+                        lambda p: p, pending)
+                    pending = jax.lax.cond(
+                        l1 & ~both,
+                        lambda p, j=j, enc1=enc1, cnt1=cnt1:
+                            enqueue(2 * j + 1, -enc1 - 1, cnt1, p),
+                        lambda p: p, pending)
+                else:
+                    pending = jax.lax.cond(
+                        b0 & (enc0 < 0),
+                        lambda p, j=j, enc0=enc0, cnt0=cnt0:
+                            enqueue(2 * j, -enc0 - 1, cnt0, p),
+                        lambda p: p, pending)
+                    pending = jax.lax.cond(
+                        b1 & (enc1 < 0),
+                        lambda p, j=j, enc1=enc1, cnt1=cnt1:
+                            enqueue(2 * j + 1, -enc1 - 1, cnt1, p),
+                        lambda p: p, pending)
                 # internal -> stack, far first so the near child pops
                 # first next step
                 i0 = b0 & (enc0 >= 0)
@@ -295,13 +330,14 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit",
-                     "tris_per_row", "light", "drain_min"),
+                     "tris_per_row", "light", "drain_min", "merge_sibs"),
 )
 def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
                      any_hit: bool = False, rows: int = 16,
                      interpret: bool = False, vmem_limit: int = 0,
                      tris_per_row: int = TRIS_PER_ROW,
-                     light: bool = False, drain_min: int = 0):
+                     light: bool = False, drain_min: int = 0,
+                     merge_sibs: bool = False):
     """Trace rays through a PackedBVH (nodes_per_row == 1) with the
     batched-node + deferred-leaf kernel.  Same contract as trace_packet:
     returns (hit_tri, t, u, v), hit_tri == -1 on miss; rays padded to
@@ -347,7 +383,7 @@ def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=limit)
     outs = pl.pallas_call(
-        _make_kernel(rows, any_hit, light, tris_per_row, dmin),
+        _make_kernel(rows, any_hit, light, tris_per_row, dmin, merge_sibs),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=[outf_spec, outi_spec],

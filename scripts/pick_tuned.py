@@ -40,6 +40,11 @@ for key, val in results.items():
     dm = re.search(r"_dm(\d+)", key)
     if dm and kind in ("dleaf", "bdl"):
         cand["drain_min"] = int(dm.group(1))
+    if kind == "bdl" and "_ms" in key:
+        cand["merge_sibs"] = True
+    ml = re.search(r"_ml(\d+)", key)
+    if ml:  # build-profile variant: consumers override max_leaf_size
+        cand["max_leaf"] = int(ml.group(1))
     if best is None or cand["mrays"] > best["mrays"]:
         best = cand
 

@@ -233,6 +233,39 @@ def conference_section():
                                         drain_min=dmin)
             timed(f"packet_bdl{rows_c}_dm{dmin or rows_c}", fc)
 
+        # Contiguous-sibling run merge: halves the per-leaf-event 16-row
+        # scalar enqueue chain (the cost model's dominant bdl term) at
+        # the price of superset drain rows on want-mismatched rows.
+        for rows_c in (16, 32):
+            def fm(o, d, tn, tx, rows_c=rows_c):
+                return trace_packet_bdl(nodes_d, tris_d, o, d, tn, tx,
+                                        rows=rows_c, tris_per_row=tpr,
+                                        merge_sibs=True)
+            timed(f"packet_bdl{rows_c}_dm{rows_c}_ms", fm)
+
+        # Fatter leaves (ml=96): fewer leaf EVENTS (enqueue chains) per
+        # frame at the same drain-row count -- the build-side route to
+        # cheaper enqueues. Separate accel (cached after first build).
+        try:
+            bcfg96 = BuildConfig(builder="binned_sah", sah_tri_cost=0.02,
+                                 max_leaf_size=96)
+            flat96 = build_accel(scene, bcfg96, use_cache=True)
+            n_refs96 = int((flat96.tri_index >= 0).sum())
+            pk96 = pack_bvh(flat96, scene.tri_verts(), tris_per_row=tpr,
+                            nodes_per_row=1)
+            nodes96 = jax.device_put(jnp.asarray(pk96.nodes8))
+            tris96 = jax.device_put(jnp.asarray(pk96.tris12))
+
+            def f96(o, d, tn, tx):
+                return trace_packet_bdl(nodes96, tris96, o, d, tn, tx,
+                                        rows=16, tris_per_row=tpr,
+                                        merge_sibs=True)
+            timed("packet_bdl16_dm16_ms_ml96", f96)
+        except Exception as e:  # noqa: BLE001
+            RESULTS["packet_bdl16_dm16_ms_ml96"] = (
+                f"failed: {type(e).__name__}: {e}"[:300])
+            save()
+
     # Deferred-leaf kernel: per-row leaf pairing (3.9x pair-count ceiling
     # measured by scripts/leaf_union_probe.py).  rows=32 is the design
     # target -- node sharing without the lockstep leaf blowup.

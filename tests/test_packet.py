@@ -332,6 +332,14 @@ def test_packet_bdl_matches_golden(soup_small, rng):
         rows=8, interpret=True, any_hit=True)
     blocked = brute_force_anyhit(soup_small, orig, dirn, tmin, tmax2)
     np.testing.assert_array_equal(np.asarray(tri2) >= 0, blocked)
+    # Contiguous-sibling run merge (superset drains must stay exact).
+    # rows 16/32/64 and merge_sibs x {closest, any-hit, drain_min=1}
+    # were verified standalone on bigger soups (session 4); the suite
+    # pins the cheap representative.
+    tri4, *_ = trace_packet_bdl(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=8, interpret=True, merge_sibs=True)
+    np.testing.assert_array_equal(np.asarray(tri4), ref.tri)
 
 
 def test_forest_batch_kernel_dispatch(soup_small, monkeypatch):
