@@ -251,6 +251,10 @@ class RenderConfig:
     #                            the reference's kepler_dynamic_fetch
     #                            capability at shape level).
     #                            "on" | "off" | "auto" (live < 3/4)
+    merge_sibs: bool = False  # packet_bdl: coalesce contiguous sibling
+    #                            leaf runs into one enqueue (OR'd per-row
+    #                            wants; superset drains stay exact). Also
+    #                            settable via tuned.json for auto engines.
     compact_forest: str = "auto"  # chunk-membership ray compaction in the
     #                            multi-chunk forest path (the reference's
     #                            kepler_dynamic_fetch capability, SURVEY.md

@@ -118,13 +118,17 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
         # packets (incoherent-mode tuning) interleave enough independent
         # packets to fill the block.
         ilv = 1 if rows >= 8 else 8 // rows
+        # tuned_kw may carry bdl-only knobs (merge_sibs); keep only the
+        # base kernel's.
+        pk_kw = {k: v for k, v in tuned_kw.items()
+                 if k in ("leafbc", "slabbc")}
 
         def tr(o, d, tn, tx, any_hit):
             return trace_packet(
                 nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rows,
                 interpret=interpret, order="code", tris_per_row=tpr,
                 nodes_per_row=npr, leaf_unroll=lu, interleave=ilv,
-                **tuned_kw)
+                **pk_kw)
     else:
         raise ValueError(f"not a batch-family packet engine: {engine!r}")
     return tr
@@ -340,6 +344,8 @@ class Renderer:
         self.tuned_rows = 0
         self.tuned_dmin = 0
         self.tuned_kw = {}
+        if cfg.merge_sibs:  # explicit-engine knob; tuned.json may also set
+            self.tuned_kw["merge_sibs"] = True
         if engine in ("auto", "wavefront"):
             # The Pallas packet engine is the fast path everywhere on TPU:
             # single-chunk when the packed tables fit VMEM, Morton-chunked
@@ -366,10 +372,10 @@ class Renderer:
                     self.tuned_rows = int(tuned.get("packet_rows", 0))
                     self.tuned_dmin = min(int(tuned.get("drain_min", 0)),
                                           64)
-                    self.tuned_kw = {
+                    self.tuned_kw.update({
                         k: tuned[k]
                         for k in ("leafbc", "slabbc", "merge_sibs")
-                        if tuned.get(k)}
+                        if tuned.get(k)})
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",
                          "packet_bfs", "packet_dleaf", "packet_bdl",

@@ -20,11 +20,13 @@ ROWS = tuple(int(r) for r in os.environ.get("ROWS", "16,8,4,2").split(","))
 MODES = tuple(os.environ.get("MODES", "diffuse,ao").split(","))
 ENGINE = os.environ.get("ENGINE", "packet")
 COMPACT = os.environ.get("COMPACT", "auto")  # between-pass live-ray compaction
+MERGE = os.environ.get("MERGE", "0") == "1"  # bdl sibling-run merge
 for rows in ROWS:
     r = Renderer(scene, bcfg,
                  RenderConfig(width=1024, height=768, samples=4,
                               engine=ENGINE, packet_rows=rows,
-                              compact_rays=COMPACT), flat=flat)
+                              compact_rays=COMPACT, merge_sibs=MERGE),
+                 flat=flat)
     for mode in MODES:
         best = {}
         for i in range(2):

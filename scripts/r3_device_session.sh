@@ -41,5 +41,6 @@ ENGINE=packet_bfs   ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 # deferred-leaf: per-row leaf grouping should pay MOST on divergent rays
 ENGINE=packet_dleaf ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 ENGINE=packet_bdl   ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
+ENGINE=packet_bdl   ROWS=16   COMPACT=on MERGE=1 python scripts/incoherent_sweep.py
 
 echo "R3 DEVICE SESSION DONE"
