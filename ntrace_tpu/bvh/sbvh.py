@@ -393,12 +393,70 @@ class _Builder:
         return (self.child_lo[c].min(axis=0), self.child_hi[c].max(axis=0))
 
 
+# Native-builder selection: the C++ SplitBVHBuilder counterpart
+# (native/sbvh.cpp) runs the same algorithm ~20-40x faster and is the
+# default above this size; below it, the Python builder's startup
+# overhead is irrelevant and it remains the semantic reference.
+# NTRACE_NATIVE_SBVH=0 disables, =force enables at any size.
+_NATIVE_MIN_TRIS = 50_000
+
+
+def sbvh_impl_tag(num_tris: int, cfg: BuildConfig) -> str:
+    """'native' or 'py' -- which implementation build_sbvh will select.
+
+    Participates in the accel cache key (utils/cache.py): the two
+    implementations emit equally valid but not bit-identical trees, so a
+    cached tree must not be reused across implementations."""
+    if cfg.builder not in ("sbvh", "binned_sah"):
+        return "py"
+    mode = os.environ.get("NTRACE_NATIVE_SBVH", "1")
+    if mode == "0":
+        return "py"
+    from ntrace_tpu.native.sbvh_lib import native_sbvh_available
+
+    if not native_sbvh_available():
+        return "py"
+    if mode == "force" or num_tris >= _NATIVE_MIN_TRIS:
+        return "native"
+    return "py"
+
+
+def _build_sbvh_native(scene: Scene, cfg: BuildConfig) -> HostBVH | None:
+    """Native-path build; None means fall back to the Python builder."""
+    from ntrace_tpu.native.sbvh_lib import native_sbvh_build
+
+    tv = scene.tri_verts().astype(np.float32)
+    ref_lo = tv.min(axis=1)
+    ref_hi = tv.max(axis=1)
+    (child, clo, chi, leaf_first, leaf_count, order,
+     n_refs, unsplit, root) = native_sbvh_build(ref_lo, ref_hi, cfg)
+    if cfg.builder == "sbvh" and os.environ.get("NTRACE_VERBOSE"):
+        import sys
+
+        dup = n_refs / max(scene.num_tris, 1)
+        print(f"[sbvh-native] refs={n_refs} dup_ratio={dup:.3f} "
+              f"unsplit={unsplit}", file=sys.stderr)
+    if root < 0:  # whole scene became one leaf: force a trivial split
+        return None
+    return HostBVH(
+        child=child, child_lo=clo, child_hi=chi,
+        leaf_first=leaf_first, leaf_count=leaf_count, tri_order=order,
+    )
+
+
 def build_sbvh(scene: Scene, cfg: BuildConfig = BuildConfig(builder="sbvh")) -> HostBVH:
     """SBVH (spatial splits) or plain binned-SAH tree (builder='binned_sah')."""
     import sys
 
     sys.setrecursionlimit(100000)
     if scene.num_tris < 2:
+        from ntrace_tpu.bvh.median import build_median_bvh
+
+        return build_median_bvh(scene, cfg)
+    if sbvh_impl_tag(scene.num_tris, cfg) == "native":
+        out = _build_sbvh_native(scene, cfg)
+        if out is not None:
+            return out
         from ntrace_tpu.bvh.median import build_median_bvh
 
         return build_median_bvh(scene, cfg)

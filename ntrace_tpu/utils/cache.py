@@ -49,6 +49,12 @@ def accel_cache_key(scene: Scene, cfg: BuildConfig) -> str:
         f"|{cfg.sah_node_cost}|{cfg.sah_tri_cost}|{cfg.sbvh_unsplit}"
         f"|{cfg.object_sweep}|v6"
     )
+    if cfg.builder in ("sbvh", "binned_sah"):
+        # Native and Python builders emit equally valid but not
+        # bit-identical trees; the cache must not serve one as the other.
+        from ntrace_tpu.bvh.sbvh import sbvh_impl_tag
+
+        cfg_sig += f"|{sbvh_impl_tag(scene.num_tris, cfg)}"
     return hashlib.sha1((scene_hash(scene) + cfg_sig).encode()).hexdigest()[:16]
 
 

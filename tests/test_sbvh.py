@@ -138,3 +138,64 @@ class TestSweepObjectSAH:
         o, d, tn, tx = random_rays(rng, 800)
         rec = trace_cpu_golden(flat, o, d, tn, tx)
         assert_hits_match_brute(rec, brute_force_mt(scene, o, d, tn, tx))
+
+
+class TestNativeBuilder:
+    """Native C++ builder (native/sbvh.cpp): same algorithm as the Python
+    builder; trees must be equally valid, brute-force-exact to traverse,
+    and SAH-cost-equivalent (not bit-identical: float accumulation order
+    differs in the prefix sweeps)."""
+
+    @pytest.fixture(autouse=True)
+    def _force_native(self, monkeypatch):
+        from ntrace_tpu.native.sbvh_lib import native_sbvh_available
+
+        if not native_sbvh_available():
+            pytest.skip("no native toolchain")
+        monkeypatch.setenv("NTRACE_NATIVE_SBVH", "force")
+
+    @pytest.mark.parametrize("builder", ["binned_sah", "sbvh"])
+    @pytest.mark.parametrize("sweep", [False, True])
+    def test_traversal_matches_brute(self, rng, builder, sweep):
+        scene = make_random_soup(n_tris=3000, seed=77)
+        cfg = BuildConfig(builder=builder, object_sweep=sweep)
+        bvh = build_sbvh(scene, cfg)
+        bvh.validate(scene.num_tris)
+        flat = flatten_bvh(bvh, scene)
+        o, d, tmin, tmax = random_rays(rng, 1200)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        assert_hits_match_brute(rec, brute_force_mt(scene, o, d, tmin, tmax))
+
+    @pytest.mark.parametrize("builder", ["binned_sah", "sbvh"])
+    def test_sah_parity_with_python(self, builder, monkeypatch):
+        for seed in (5, 23):
+            scene = make_random_soup(n_tris=2000, seed=seed)
+            cfg = BuildConfig(builder=builder)
+            monkeypatch.setenv("NTRACE_NATIVE_SBVH", "0")
+            py = build_sbvh(scene, cfg).sah_cost()
+            monkeypatch.setenv("NTRACE_NATIVE_SBVH", "force")
+            nat = build_sbvh(scene, cfg).sah_cost()
+            assert nat <= py * 1.02, (seed, py, nat)
+            assert py <= nat * 1.02, (seed, py, nat)
+
+    def test_spatial_duplication_and_structured_scene(self, rng):
+        scene = get_scene("conference", n_tris=6000)
+        bvh = build_sbvh(scene, BuildConfig(builder="sbvh"))
+        bvh.validate(scene.num_tris)
+        flat = flatten_bvh(bvh, scene)
+        o, d, tmin, tmax = random_rays(rng, 800, extent=9.0)
+        rec = trace_cpu_golden(flat, o, d, tmin, tmax)
+        assert_hits_match_brute(rec, brute_force_mt(scene, o, d, tmin, tmax))
+
+    def test_impl_tag_cache_key_distinguishes(self, monkeypatch):
+        """accel_cache_key must differ between native and Python paths so a
+        cached tree is never served across implementations."""
+        from ntrace_tpu.utils.cache import accel_cache_key
+
+        scene = make_random_soup(n_tris=64, seed=1)
+        cfg = BuildConfig(builder="sbvh")
+        monkeypatch.setenv("NTRACE_NATIVE_SBVH", "force")
+        k_native = accel_cache_key(scene, cfg)
+        monkeypatch.setenv("NTRACE_NATIVE_SBVH", "0")
+        k_py = accel_cache_key(scene, cfg)
+        assert k_native != k_py
