@@ -255,6 +255,11 @@ class RenderConfig:
     #                            leaf runs into one enqueue (OR'd per-row
     #                            wants; superset drains stay exact). Also
     #                            settable via tuned.json for auto engines.
+    qgroup: int = 1  # packet_bdl: ray rows per leaf-run queue (>1 divides
+    #                            the per-event scalar push chain by the
+    #                            group size; grouped rows drain the union
+    #                            of their wants -- superset, exact). Also
+    #                            settable via tuned.json for auto engines.
     compact_forest: str = "auto"  # chunk-membership ray compaction in the
     #                            multi-chunk forest path (the reference's
     #                            kepler_dynamic_fetch capability, SURVEY.md

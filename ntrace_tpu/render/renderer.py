@@ -86,12 +86,15 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
 
         rc = min(max(rows, 8), 64)
         ms = bool(tuned_kw.get("merge_sibs"))
+        qg = int(tuned_kw.get("qgroup", 1))
+        if rc % qg != 0:
+            qg = 1
 
         def tr(o, d, tn, tx, any_hit):
             return trace_packet_bdl(
                 nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
                 interpret=interpret, tris_per_row=tpr, drain_min=dmin,
-                merge_sibs=ms)
+                merge_sibs=ms, qgroup=qg)
     elif engine == "packet_dleaf":
         from ntrace_tpu.trace.packet_dleaf import trace_packet_dleaf
 
@@ -346,6 +349,8 @@ class Renderer:
         self.tuned_kw = {}
         if cfg.merge_sibs:  # explicit-engine knob; tuned.json may also set
             self.tuned_kw["merge_sibs"] = True
+        if cfg.qgroup != 1:
+            self.tuned_kw["qgroup"] = int(cfg.qgroup)
         if engine in ("auto", "wavefront"):
             # The Pallas packet engine is the fast path everywhere on TPU:
             # single-chunk when the packed tables fit VMEM, Morton-chunked
@@ -374,7 +379,8 @@ class Renderer:
                                           64)
                     self.tuned_kw.update({
                         k: tuned[k]
-                        for k in ("leafbc", "slabbc", "merge_sibs")
+                        for k in ("leafbc", "slabbc", "merge_sibs",
+                                  "qgroup")
                         if tuned.get(k)})
         known_engines = ("stack", "stack2", "bvh8", "kdtree", "packet",
                          "packet_ifif", "packet_ww", "packet_pipe",

@@ -63,15 +63,22 @@ from ntrace_tpu.trace.packet_dleaf import _mt_tile
 
 STACK_DEPTH = 4096      # BFS cut width >> DFS depth; 16 KB SMEM
 MAX_STEPS = 1_000_000   # malformed-tree backstop (steps cover B nodes)
-QCAP = 96               # queued runs per ray row (see packet_dleaf.py);
+QCAP = 96               # queued runs per queue (row or qgroup-row group);
                         # bounded: drains keep pending < drain_min <= 64
-                        # and one step adds <= 2*B entries per row
+                        # and one step adds <= 2*B entries per queue
 B = 8                   # nodes popped per step
 
 
 def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
-                 drain_min: int, merge_sibs: bool):
+                 drain_min: int, merge_sibs: bool, qgroup: int):
     shape = (rows, 128)
+    # Queue granularity: one run queue per GROUP of qgroup ray rows.
+    # qgroup == 1 is the per-row dleaf scheme; larger groups divide the
+    # dominant per-event scalar push chain (PERF_NOTES round-3 session-4
+    # cost model: ~9 ops x rows per wanted leaf) by qgroup, at the price
+    # of every row in a group testing the UNION of its members' runs --
+    # a superset of each row's wants, so closest/any-hit stay exact.
+    G = rows // qgroup
 
     def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, stack_ref,
                q_ref, qn_ref, arow_ref, aleft_ref):
@@ -83,7 +90,7 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
         rowi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
         # Scratch persists across grid steps: reset the queue state.
-        for r in range(rows):
+        for r in range(G):
             qn_ref[r] = jnp.int32(0)
             arow_ref[r] = jnp.int32(0)
             aleft_ref[r] = jnp.int32(0)
@@ -115,7 +122,7 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
             pending, hit_t, hit_id, hit_u, hit_v = args
             loads = []
             used = []
-            for r in range(rows):
+            for r in range(G):
                 aleft = aleft_ref[r]
                 arow = arow_ref[r]
                 qn = qn_ref[r]
@@ -129,7 +136,9 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                 arow_ref[r] = arow + use
                 aleft_ref[r] = aleft - use
                 used.append(use)
-                loads.append(tris_ref[pl.ds(rowsel, 1), :])
+                ld = tris_ref[pl.ds(rowsel, 1), :]
+                loads.append(ld if qgroup == 1
+                             else jnp.broadcast_to(ld, (qgroup, 128)))
             tb = jnp.concatenate(loads, axis=0)
             if light:
                 bt, bid = _mt_tile(tb, ox, oy, oz, dx, dy, dz, tn, tpr,
@@ -203,26 +212,43 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                 return jnp.bitwise_and(
                     jax.lax.shift_right_logical(anyb, s), 1) > 0
 
-            def enqueue(s, row0, nrows, pending, s2=-1):
-                """Push (row0, nrows) onto the queue of every row whose
-                wants bit for child slot s is set (branchless junk-slot
-                pushes; independent per-row chains). s2 >= 0 ORs a second
-                slot's wants bit in (merged contiguous sibling runs): a
-                row wanting either child tests the union run -- a
-                superset, so closest/any-hit results are unchanged."""
-                accepted = []
+            # Per-GROUP 16-bit wants masks (computed once per step; the
+            # enqueue bit tests read these).  ws[q] packs row 2q's mask
+            # in the low half and row 2q+1's in the high half; a group's
+            # mask is the OR over its member rows.  High-half junk above
+            # bit 15 is harmless: enqueue extracts single bits <= 15.
+            gm = []
+            if qgroup == 1:
                 for r in range(rows):
-                    w = jax.lax.shift_right_logical(ws[r // 2],
-                                                    16 * (r % 2))
-                    b = jax.lax.shift_right_logical(w, s)
+                    gm.append(jax.lax.shift_right_logical(
+                        ws[r // 2], 16 * (r % 2)))
+            else:
+                for g in range(G):
+                    qs = range(g * qgroup // 2, (g + 1) * qgroup // 2)
+                    acc = None
+                    for q in qs:
+                        acc = ws[q] if acc is None else acc | ws[q]
+                    gm.append(acc | jax.lax.shift_right_logical(acc, 16))
+
+            def enqueue(s, row0, nrows, pending, s2=-1):
+                """Push (row0, nrows) onto the queue of every GROUP whose
+                wants bit for child slot s is set (branchless junk-slot
+                pushes; independent per-group chains). s2 >= 0 ORs a
+                second slot's wants bit in (merged contiguous sibling
+                runs): a group wanting either child tests the union run
+                -- a superset, so closest/any-hit results are
+                unchanged."""
+                accepted = []
+                for r in range(G):
+                    b = jax.lax.shift_right_logical(gm[r], s)
                     if s2 >= 0:
-                        b = b | jax.lax.shift_right_logical(w, s2)
+                        b = b | jax.lax.shift_right_logical(gm[r], s2)
                     take = jnp.bitwise_and(b, 1)
                     qn = qn_ref[r]
                     ok = take & (qn < QCAP).astype(jnp.int32)
                     slot = jnp.where(ok > 0,
                                      r * QCAP + jnp.minimum(qn, QCAP - 1),
-                                     rows * QCAP)
+                                     G * QCAP)
                     q_ref[2 * slot] = row0
                     q_ref[2 * slot + 1] = nrows
                     qn_ref[r] = qn + ok
@@ -330,29 +356,38 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit",
-                     "tris_per_row", "light", "drain_min", "merge_sibs"),
+                     "tris_per_row", "light", "drain_min", "merge_sibs",
+                     "qgroup"),
 )
 def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
                      any_hit: bool = False, rows: int = 16,
                      interpret: bool = False, vmem_limit: int = 0,
                      tris_per_row: int = TRIS_PER_ROW,
                      light: bool = False, drain_min: int = 0,
-                     merge_sibs: bool = False):
+                     merge_sibs: bool = False, qgroup: int = 1):
     """Trace rays through a PackedBVH (nodes_per_row == 1) with the
     batched-node + deferred-leaf kernel.  Same contract as trace_packet:
     returns (hit_tri, t, u, v), hit_tri == -1 on miss; rays padded to
     whole rows*128 packets.
 
     drain_min: queued tri-rows required before drain steps fire
-    (0 -> rows, i.e. expect a mostly-full tile); <= 64 so per-row
+    (0 -> one per queue, i.e. expect a mostly-full tile); <= 64 so
     queue depth stays under QCAP.
+
+    qgroup: ray rows per run queue (1 = per-row dleaf scheme).  Larger
+    groups divide the per-leaf-event scalar push chain by qgroup; every
+    row in a group tests the union of the group's queued runs (superset
+    -> identical results).
     """
     if rows % 8 != 0 or rows > 64:
         # unlike dleaf's 1-bit-per-row int32 mask, the 16-bit-per-row /
         # 2-rows-per-int32 extraction scales to any row count; 64 is the
         # largest packet the VPU register budget plausibly tolerates
         raise ValueError("rows must be a multiple of 8, <= 64")
-    dmin = drain_min or rows
+    if qgroup not in (1, 2, 4, 8, 16) or rows % qgroup != 0:
+        raise ValueError("qgroup must be a power of two dividing rows")
+    n_groups = rows // qgroup
+    dmin = drain_min or n_groups
     if dmin > 64:
         raise ValueError("drain_min must be <= 64 (QCAP bound)")
     R = orig.shape[0]
@@ -371,10 +406,10 @@ def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
     ]
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-        pltpu.SMEM((rows * QCAP * 2 + 2,), jnp.int32),   # run queues + junk
-        pltpu.SMEM((rows,), jnp.int32),                  # queue depths
-        pltpu.SMEM((rows,), jnp.int32),                  # active run row
-        pltpu.SMEM((rows,), jnp.int32),                  # active run left
+        pltpu.SMEM((n_groups * QCAP * 2 + 2,), jnp.int32),  # run queues + junk
+        pltpu.SMEM((n_groups,), jnp.int32),                 # queue depths
+        pltpu.SMEM((n_groups,), jnp.int32),                 # active run row
+        pltpu.SMEM((n_groups,), jnp.int32),                 # active run left
     ]
     params = {}
     if not interpret:
@@ -383,7 +418,8 @@ def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=limit)
     outs = pl.pallas_call(
-        _make_kernel(rows, any_hit, light, tris_per_row, dmin, merge_sibs),
+        _make_kernel(rows, any_hit, light, tris_per_row, dmin, merge_sibs,
+                     qgroup),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=[outf_spec, outi_spec],

@@ -42,6 +42,9 @@ for key, val in results.items():
         cand["drain_min"] = int(dm.group(1))
     if kind == "bdl" and "_ms" in key:
         cand["merge_sibs"] = True
+    qg = re.search(r"_qg(\d+)", key)
+    if qg and kind == "bdl":
+        cand["qgroup"] = int(qg.group(1))
     ml = re.search(r"_ml(\d+)", key)
     if ml:  # build-profile variant: consumers override max_leaf_size
         cand["max_leaf"] = int(ml.group(1))

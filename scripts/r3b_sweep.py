@@ -243,6 +243,17 @@ def conference_section():
                                         merge_sibs=True)
             timed(f"packet_bdl{rows_c}_dm{rows_c}_ms", fm)
 
+        # Grouped run queues (session-5): divide the per-event enqueue
+        # chain by qgroup; grouped rows drain the union of their wants
+        # (superset, exact). Composes with merge_sibs.
+        for rows_c, qg, ms in ((16, 2, True), (16, 4, True), (16, 8, True),
+                               (16, 4, False), (32, 4, True), (32, 8, True)):
+            def fg(o, d, tn, tx, rows_c=rows_c, qg=qg, ms=ms):
+                return trace_packet_bdl(nodes_d, tris_d, o, d, tn, tx,
+                                        rows=rows_c, tris_per_row=tpr,
+                                        merge_sibs=ms, qgroup=qg)
+            timed(f"packet_bdl{rows_c}_qg{qg}{'_ms' if ms else ''}", fg)
+
         # Fatter leaves (ml=96): fewer leaf EVENTS (enqueue chains) per
         # frame at the same drain-row count -- the build-side route to
         # cheaper enqueues. Separate accel (cached after first build).

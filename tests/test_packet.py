@@ -340,6 +340,15 @@ def test_packet_bdl_matches_golden(soup_small, rng):
         packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
         rows=8, interpret=True, merge_sibs=True)
     np.testing.assert_array_equal(np.asarray(tri4), ref.tri)
+    # Grouped run queues (qgroup > 1): grouped rows drain the union of
+    # their members' wants -- superset visits, identical results.
+    # rows 8/16 x qgroup {2,4,8} x {closest, any-hit, merge_sibs,
+    # drain_min=1} verified standalone on a 300-tri soup / 2500 rays
+    # (session 5); the suite pins the cheap representative.
+    tri5, *_ = trace_packet_bdl(
+        packed.nodes8, packed.tris12, orig, dirn, tmin, tmax,
+        rows=8, interpret=True, merge_sibs=True, qgroup=4)
+    np.testing.assert_array_equal(np.asarray(tri5), ref.tri)
 
 
 def test_forest_batch_kernel_dispatch(soup_small, monkeypatch):
