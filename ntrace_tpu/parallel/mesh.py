@@ -111,15 +111,7 @@ def trace_sharded_stack2(mesh: Mesh, ut, n_nodes, orig, dirn, tmin, tmax,
     return jax.jit(fn)(ut, orig, dirn, tmin, tmax)
 
 
-def trace_sharded_packet(mesh: Mesh, nodes8, tris12, orig, dirn, tmin, tmax,
-                         any_hit: bool = False, rows: int = 8,
-                         interpret: bool = False, kernel: str = "packet",
-                         **kw):
-    """The Pallas packet-kernel family under shard_map: packed tables
-    replicated, rays sharded. On the virtual-CPU test mesh the kernel runs
-    interpreted; on a real TPU mesh it compiles per-chip Mosaic programs.
-    kernel selects the schedule (packet | packet_bfs | packet_dleaf |
-    packet_bdl; the batch kernels need nodes_per_row=1 tables)."""
+def _packet_kernel(kernel: str):
     if kernel == "packet_bdl":
         from ntrace_tpu.trace.packet_bdl import trace_packet_bdl as tr
     elif kernel == "packet_dleaf":
@@ -132,6 +124,19 @@ def trace_sharded_packet(mesh: Mesh, nodes8, tris12, orig, dirn, tmin, tmax,
         # strict: a typo silently measured as the base kernel would
         # poison A/B results
         raise ValueError(f"unknown packet kernel {kernel!r}")
+    return tr
+
+
+def trace_sharded_packet(mesh: Mesh, nodes8, tris12, orig, dirn, tmin, tmax,
+                         any_hit: bool = False, rows: int = 8,
+                         interpret: bool = False, kernel: str = "packet",
+                         **kw):
+    """The Pallas packet-kernel family under shard_map: packed tables
+    replicated, rays sharded. On the virtual-CPU test mesh the kernel runs
+    interpreted; on a real TPU mesh it compiles per-chip Mosaic programs.
+    kernel selects the schedule (packet | packet_bfs | packet_dleaf |
+    packet_bdl; the batch kernels need nodes_per_row=1 tables)."""
+    tr = _packet_kernel(kernel)
 
     def body(n8, t12, o, d, tn, tx):
         return tr(n8, t12, o, d, tn, tx, any_hit=any_hit,
@@ -144,6 +149,117 @@ def trace_sharded_packet(mesh: Mesh, nodes8, tris12, orig, dirn, tmin, tmax,
         check_vma=False,
     )
     return jax.jit(fn)(nodes8, tris12, orig, dirn, tmin, tmax)
+
+
+def make_mesh2(n_chunk: int, n_ray: int) -> Mesh:
+    """Two-axis mesh for scene sharding x ray data-parallelism."""
+    devs = jax.devices()
+    assert len(devs) >= n_chunk * n_ray
+    return Mesh(np.asarray(devs[: n_chunk * n_ray]).reshape(n_chunk, n_ray),
+                ("chunks", "rays"))
+
+
+def stack_forest_tables(forest: list[dict]):
+    """Pad per-chunk packed tables to a common row count and stack them
+    on a leading chunk axis (for sharding over a `chunks` mesh axis).
+
+    Padding rows are unreachable: traversal starts at each chunk's row 0
+    and only follows real child links, so zero rows are never read.
+    Returns (nodes (K, N, 128) f32, tris (K, T, 128) f32).
+    """
+    nmax = max(int(c["nodes"].shape[0]) for c in forest)
+    tmax_ = max(int(c["tris"].shape[0]) for c in forest)
+    pad = lambda a, rows: jnp.pad(jnp.asarray(a),
+                                  ((0, rows - a.shape[0]), (0, 0)))
+    nodes = jnp.stack([pad(c["nodes"], nmax) for c in forest])
+    tris = jnp.stack([pad(c["tris"], tmax_) for c in forest])
+    return nodes, tris
+
+
+def trace_sharded_forest(mesh: Mesh, nodes_st, tris_st, orig, dirn,
+                         tmin, tmax, any_hit: bool = False, rows: int = 8,
+                         interpret: bool = False, kernel: str = "packet",
+                         **kw):
+    """Scene sharding x ray data-parallelism over a 2-axis mesh.
+
+    The second multi-chip tier beyond replicated-accel ray DP (the
+    "model parallel" analogue): the Morton-chunked forest's packed
+    tables ride a leading chunk axis sharded over `chunks` (each chip
+    holds only its shard of the SCENE -- scenes larger than one chip's
+    HBM become tractable), while rays are sharded over `rays` and
+    replicated across the chunk axis. Each chip folds the closest hits
+    of its local chunks (tmax tightening between local passes, as in
+    the single-chip forest), then an all_gather over the chunk axis +
+    the kernels' exact (t, tri-id) tie rule reduce to results identical
+    to the single-device forest. The chunk tables must be packed with
+    tri_id_map (global ids), so no id remap is needed after the fold.
+
+    nodes_st/tris_st: stack_forest_tables output; the chunk count must
+    be divisible by the chunk-axis size.
+    """
+    tr = _packet_kernel(kernel)
+    n_chunk_devs = mesh.shape["chunks"]
+    K = nodes_st.shape[0]
+    assert K % n_chunk_devs == 0, (K, n_chunk_devs)
+    k_local = K // n_chunk_devs
+
+    def body(n8, t12, o, d, tn, tx):
+        best_id = jnp.full(tn.shape, -1, jnp.int32)
+        zero = jnp.zeros_like(tn)
+        best_t, best_u, best_v = tx, zero, zero
+        cur_tx = tx
+        for k in range(k_local):
+            tri_k, t_k, u_k, v_k = tr(
+                n8[k], t12[k], o, d, tn, cur_tx, any_hit=any_hit,
+                rows=rows, interpret=interpret, **kw)
+            hit_k = tri_k >= 0
+            if any_hit:
+                acc = hit_k & (best_id < 0)  # any witness is acceptable
+            else:
+                acc = hit_k & ((t_k < best_t)
+                               | ((t_k == best_t)
+                                  & ((tri_k < best_id) | (best_id < 0))))
+            best_id = jnp.where(acc, tri_k, best_id)
+            best_t = jnp.where(acc, t_k, best_t)
+            best_u = jnp.where(acc, u_k, best_u)
+            best_v = jnp.where(acc, v_k, best_v)
+            if any_hit:
+                # found rays are dead for the remaining local chunks
+                cur_tx = jnp.where(best_id >= 0, tn, cur_tx)
+            else:
+                cur_tx = best_t
+        # Cross-chip reduce over the scene shards: gather every chip's
+        # per-ray best and fold with the same exact tie rule.
+        g_id = jax.lax.all_gather(best_id, "chunks")
+        g_t = jax.lax.all_gather(best_t, "chunks")
+        g_u = jax.lax.all_gather(best_u, "chunks")
+        g_v = jax.lax.all_gather(best_v, "chunks")
+        best_id = g_id[0]
+        best_t, best_u, best_v = g_t[0], g_u[0], g_v[0]
+        for c in range(1, n_chunk_devs):
+            hit_c = g_id[c] >= 0
+            if any_hit:
+                acc = hit_c & (best_id < 0)
+            else:
+                acc = hit_c & ((g_t[c] < best_t)
+                               | ((g_t[c] == best_t)
+                                  & ((g_id[c] < best_id) | (best_id < 0))))
+            best_id = jnp.where(acc, g_id[c], best_id)
+            best_t = jnp.where(acc, g_t[c], best_t)
+            best_u = jnp.where(acc, g_u[c], best_u)
+            best_v = jnp.where(acc, g_v[c], best_v)
+        # Miss convention matches the kernels: t = original tmax.
+        best_t = jnp.where(best_id < 0, tx, best_t)
+        return best_id, best_t, best_u, best_v
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("chunks"), P("chunks"),
+                  P("rays"), P("rays"), P("rays"), P("rays")),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(nodes_st, tris_st, orig, dirn, tmin, tmax)
 
 
 def render_step_sharded_stack2(mesh: Mesh, ut, n_nodes, geom_normals,

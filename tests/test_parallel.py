@@ -183,3 +183,57 @@ def test_packet_bdl_sharded_matches_single(soup_small, rng, mesh8):
     single = trace_packet_bdl(n8, t12, *args, rows=8, interpret=True)
     for s, g in zip(sh, single):
         np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
+
+
+def test_forest_sharded_scene_sharding(soup_small, rng):
+    """Scene sharding x ray DP (trace_sharded_forest): forest chunk
+    tables sharded over a 'chunks' mesh axis, rays over 'rays'.  The
+    cross-chip all_gather fold must reproduce brute force exactly --
+    each chip only ever sees ITS shard of the scene."""
+    from ntrace_tpu.bvh.forest import morton_partition, sub_scene
+    from ntrace_tpu.bvh.golden import brute_force_anyhit, brute_force_mt
+    from ntrace_tpu.bvh.packed import pack_bvh
+    from ntrace_tpu.parallel.mesh import (
+        make_mesh2, stack_forest_tables, trace_sharded_forest,
+    )
+    from tests.test_bvh import assert_hits_match_brute
+
+    mesh = make_mesh2(2, 4)
+    chunks = morton_partition(soup_small, max_refs=soup_small.num_tris // 3)
+    forest = []
+    for ci, ids in enumerate(chunks):
+        sub = sub_scene(soup_small, ids, ci)
+        fl = flatten_bvh(build_sbvh(sub, BuildConfig(builder="binned_sah")),
+                         sub)
+        # default nodes_per_row=8 matches trace_packet's default; a
+        # mismatch between pack layout and kernel kwarg silently
+        # misdecodes node rows.
+        pk = pack_bvh(fl, sub.tri_verts(),
+                      tri_id_map=ids.astype(np.int64))
+        forest.append(dict(nodes=pk.nodes8, tris=pk.tris12))
+    if len(forest) % 2:  # chunk count must divide the chunk axis
+        forest.append(forest[-1])  # duplicate shard: fold is idempotent
+    nodes_st, tris_st = stack_forest_tables(forest)
+
+    orig, dirn, tmin, tmax = random_rays(rng, 512)
+    tmax = np.minimum(tmax, 1e9).astype(np.float32)
+    args = (jnp.asarray(orig), jnp.asarray(dirn),
+            jnp.asarray(tmin), jnp.asarray(tmax))
+    tri, t, u, v = trace_sharded_forest(mesh, nodes_st, tris_st, *args,
+                                        rows=8, interpret=True)
+    ref = brute_force_mt(soup_small, orig, dirn, tmin, tmax)
+
+    class Rec:
+        pass
+
+    rec = Rec()
+    rec.tri, rec.t, rec.u, rec.v = (np.asarray(tri), np.asarray(t),
+                                    np.asarray(u), np.asarray(v))
+    assert_hits_match_brute(rec, ref)
+
+    tmax2 = np.full_like(tmax, 14.0)
+    tri2, *_ = trace_sharded_forest(
+        mesh, nodes_st, tris_st, args[0], args[1], args[2],
+        jnp.asarray(tmax2), rows=8, interpret=True, any_hit=True)
+    blocked = brute_force_anyhit(soup_small, orig, dirn, tmin, tmax2)
+    np.testing.assert_array_equal(np.asarray(tri2) >= 0, blocked)
