@@ -21,11 +21,13 @@ MODES = tuple(os.environ.get("MODES", "diffuse,ao").split(","))
 ENGINE = os.environ.get("ENGINE", "packet")
 COMPACT = os.environ.get("COMPACT", "auto")  # between-pass live-ray compaction
 MERGE = os.environ.get("MERGE", "0") == "1"  # bdl sibling-run merge
+QGROUP = int(os.environ.get("QGROUP", "1"))  # bdl grouped run queues
 for rows in ROWS:
     r = Renderer(scene, bcfg,
                  RenderConfig(width=1024, height=768, samples=4,
                               engine=ENGINE, packet_rows=rows,
-                              compact_rays=COMPACT, merge_sibs=MERGE),
+                              compact_rays=COMPACT, merge_sibs=MERGE,
+                              qgroup=QGROUP),
                  flat=flat)
     for mode in MODES:
         best = {}

@@ -42,5 +42,7 @@ ENGINE=packet_bfs   ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 ENGINE=packet_dleaf ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 ENGINE=packet_bdl   ROWS=16,8 COMPACT=on  python scripts/incoherent_sweep.py
 ENGINE=packet_bdl   ROWS=16   COMPACT=on MERGE=1 python scripts/incoherent_sweep.py
+# grouped run queues: enqueue-chain / qgroup on the divergent workloads
+ENGINE=packet_bdl   ROWS=16   COMPACT=on MERGE=1 QGROUP=4 python scripts/incoherent_sweep.py
 
 echo "R3 DEVICE SESSION DONE"
