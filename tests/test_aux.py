@@ -193,6 +193,17 @@ class TestTunedDispatch:
         assert tuned == {"engine": "packet", "packet_rows": 16,
                          "mrays": 200.0, "source_key": "packet16_bothbc",
                          "leafbc": True, "slabbc": True}
+        # grouped-queue variants carry qgroup (+ merge_sibs from _ms)
+        results["packet_bdl16_qg4_ms"] = {"mrays": 250.0}
+        (work / "results_r3b_sweep.json").write_text(json.dumps(results))
+        subprocess.run(
+            [sys.executable, str(work / "scripts" / "pick_tuned.py")],
+            capture_output=True, text=True, check=True)
+        tuned = json.loads((work / "tuned.json").read_text())
+        assert tuned["engine"] == "packet_bdl"
+        assert tuned["qgroup"] == 4
+        assert tuned["merge_sibs"] is True
+        assert tuned["packet_rows"] == 16
 
     def test_tuned_engine_on_direct_path(self, tmp_path, monkeypatch):
         """auto + builder=lbvh on the packed-direct path must honour the
