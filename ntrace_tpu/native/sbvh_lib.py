@@ -116,9 +116,16 @@ def native_sbvh_build(ref_lo: np.ndarray, ref_hi: np.ndarray, cfg):
         if d.error:
             raise RuntimeError(d.error.decode())
         ni, nl, no = int(d.n_inner), int(d.n_leaves), int(d.n_order)
-        child = np.ctypeslib.as_array(d.child, shape=(max(ni, 1), 2)).copy()[:ni]
-        clo = np.ctypeslib.as_array(d.child_lo, shape=(max(ni, 1), 2, 3)).copy()[:ni]
-        chi = np.ctypeslib.as_array(d.child_hi, shape=(max(ni, 1), 2, 3)).copy()[:ni]
+        if ni == 0:
+            # single-leaf tree: no inner rows to view (the C buffers are
+            # 1-element placeholders; a (1, 2, 3) view would over-read)
+            child = np.zeros((0, 2), np.int32)
+            clo = np.zeros((0, 2, 3), np.float32)
+            chi = np.zeros((0, 2, 3), np.float32)
+        else:
+            child = np.ctypeslib.as_array(d.child, shape=(ni, 2)).copy()
+            clo = np.ctypeslib.as_array(d.child_lo, shape=(ni, 2, 3)).copy()
+            chi = np.ctypeslib.as_array(d.child_hi, shape=(ni, 2, 3)).copy()
         lf = np.ctypeslib.as_array(d.leaf_first, shape=(max(nl, 1),)).copy()[:nl]
         lc = np.ctypeslib.as_array(d.leaf_count, shape=(max(nl, 1),)).copy()[:nl]
         order = np.ctypeslib.as_array(d.tri_order, shape=(max(no, 1),)).copy()[:no]
