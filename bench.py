@@ -167,6 +167,7 @@ def main():
         "golden_sampled": int(len(sub)),
         "engine": r.engine,          # tuned.json-resolved kernel, if any
         "packet_rows": r.tuned_rows or cfg.packet_rows,
+        **{k: v for k, v in r.tuned_kw.items() if v},  # kernel knobs
     }))
 
 
