@@ -26,6 +26,10 @@ NTRACE_PROBE_CHAIN=unroll NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=8 \
     NTRACE_PROBE_SIZES=1000000 python scripts/lbvh_build_probe.py
 NTRACE_PROBE_CHAIN=unroll NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=32 \
     NTRACE_PROBE_SIZES=1000000 python scripts/lbvh_build_probe.py
+# hairball-scale per-frame rebuild (BASELINE checklist: per-frame LBVH
+# rebuild at 2.9M tris)
+NTRACE_LBVH_EMIT=packed NTRACE_PROBE_ML=32 NTRACE_PROBE_SIZES=2900000 \
+    python scripts/lbvh_build_probe.py
 
 # 3. Headline (protocol-identical to BENCH_r02)
 python bench.py
