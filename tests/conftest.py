@@ -3,6 +3,12 @@
 Multi-chip sharding tests run on a virtual CPU mesh (SURVEY.md SS5, "multi-
 node without a cluster"); the real-TPU path is exercised by bench.py and
 __graft_entry__.py, not by unit tests.
+
+NOTE: run the full suite in 2-3 module slices (see git history /
+PERF_NOTES), not one process: after ~150 tests XLA:CPU's in-process
+LLVM compile can segfault on this 1-core host (observed twice; each
+slice passes green in isolation). Not a test bug -- a long-process
+compiler flake.
 """
 
 import os
