@@ -31,7 +31,10 @@ t0 = time.time()
 scene = get_scene(name, n_tris=n)
 print(f"[{name}] gen {time.time()-t0:.0f}s tris={scene.num_tris}", flush=True)
 cfg = BuildConfig(builder=builder, max_leaf_size=leaf, sah_tri_cost=tc)
-chunks = morton_partition(scene, max_refs=max(VMEM_BUDGET // 64, 1))
+# PER_REF=64 matches the base packet forest chunking; 160 the batch-kernel
+# (nodes_per_row=1) chunking -- warm both if tuned.json may pick either.
+per_ref = int(os.environ.get("PER_REF", 64))
+chunks = morton_partition(scene, max_refs=max(VMEM_BUDGET // per_ref, 1))
 print(f"[{name}] {len(chunks)} chunks", flush=True)
 for ci, ids in enumerate(chunks):
     t0 = time.time()
