@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ntrace_tpu.bvh.packed import TRIS_PER_ROW
 from ntrace_tpu.ops.aabb import safe_inv_dir
 from ntrace_tpu.trace.packet_common import (INF, packet_signs, ray_views,
-                                            stage_rays)
+                                            rep_rows, stage_rays)
 from ntrace_tpu.trace.packet_dleaf import _mt_tile
 
 STACK_DEPTH = 4096      # BFS cut width >> DFS depth; 16 KB SMEM
@@ -137,8 +137,7 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                 aleft_ref[r] = aleft - use
                 used.append(use)
                 ld = tris_ref[pl.ds(rowsel, 1), :]
-                loads.append(ld if qgroup == 1
-                             else jnp.broadcast_to(ld, (qgroup, 128)))
+                loads.append(rep_rows(ld, qgroup))
             tb = jnp.concatenate(loads, axis=0)
             if light:
                 bt, bid = _mt_tile(tb, ox, oy, oz, dx, dy, dz, tn, tpr,
@@ -179,7 +178,7 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                     for nd in nodes]
             p = jnp.zeros(shape, jnp.int32)
             for j in range(B):
-                rb = jnp.broadcast_to(recs[j], shape)
+                rb = rep_rows(recs[j], rows)
                 h0 = slab(rb, 0, live_t)
                 h1 = slab(rb, 6, live_t)
                 act = nodes[j] >= 0

@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ntrace_tpu.bvh.packed import TRI_LANES
 from ntrace_tpu.ops.aabb import safe_inv_dir
+from ntrace_tpu.trace.packet_common import rep_rows
 
 STACK_DEPTH = 4096          # BFS cut width >> DFS depth; 16 KB SMEM
 INF = np.float32(3.0e38)
@@ -88,8 +89,8 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
                 # their latencies overlap; stray rows past a run's end
                 # are a neighbour's real triangles or inert pad rows,
                 # both closest/any-hit safe (bvh/packed.py).
-                tbs = [jnp.broadcast_to(
-                    tris_ref[pl.ds(row0 + k * lu + u_i, 1), :], (rows, 128))
+                tbs = [rep_rows(
+                    tris_ref[pl.ds(row0 + k * lu + u_i, 1), :], rows)
                     for u_i in range(lu)]
                 cands = []
                 for tb in tbs:
@@ -168,7 +169,7 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
                     for nd in nodes]
             p = jnp.zeros(shape, jnp.int32)
             for j in range(B):
-                rb = jnp.broadcast_to(recs[j], shape)
+                rb = rep_rows(recs[j], rows)
                 rln = lambda c, rb=rb: rb[:, c: c + 1]
                 h0 = slab(rln, 0, live_t)
                 h1 = slab(rln, 6, live_t)

@@ -20,6 +20,21 @@ from ntrace_tpu.bvh.packed import NODE_LANES, TRI_LANES
 INF = np.float32(3.0e38)
 
 
+def rep_rows(row, n: int):
+    """Replicate a (1, 128) row tile to (n, 128), Mosaic-safely.
+
+    jnp.broadcast_to on a dynamically-loaded row crashes the TPU backend
+    compiler (tpu_compile_helper subprocess exit 1, swallowing the real
+    error -- round-3 device sweep: every kernel using it failed while
+    packet_dleaf's concat formulation compiled and ran). Values are
+    identical either way; concat keeps the replication as plain
+    vector-pipe data movement the backend handles.
+    """
+    if n == 1:
+        return row
+    return jnp.concatenate([row] * n, axis=0)
+
+
 def node_record(nodes_ref, node, npr: int):
     """(1, 128) with node's 16 lanes rolled to the front; scalar `node`.
 

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ntrace_tpu.bvh.packed import (NODE_LANES, NODES_PER_ROW, TRI_LANES,
                                    TRIS_PER_ROW)
 from ntrace_tpu.ops.aabb import safe_inv_dir
+from ntrace_tpu.trace.packet_common import rep_rows
 
 STACK_DEPTH = 128
 INF = np.float32(3.0e38)
@@ -169,8 +170,10 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
                             # with the tests instead of serializing before
                             # them. Values are bit-identical: same fp32
                             # elementwise ops, operands merely vector-
-                            # shaped.
-                            tb = jnp.broadcast_to(trow, (rows, 128))
+                            # shaped. (concat, not broadcast_to: the
+                            # latter crashes the TPU backend compiler on
+                            # dynamic rows -- packet_common.rep_rows.)
+                            tb = rep_rows(trow, rows)
                             ln = lambda c: tb[:, c: c + 1]
                         else:
                             ln = lambda c: trow[0, c]
@@ -260,7 +263,7 @@ def _make_kernel(rows: int, any_hit: bool, stats: bool = False,
             active = node >= 0
             rec = _node_record(nodes_ref, jnp.maximum(node, 0), npr)
             if slabbc:
-                recb = jnp.broadcast_to(rec, (rows, 128))
+                recb = rep_rows(rec, rows)
                 rln = lambda c: recb[:, c: c + 1]
             else:
                 rln = lambda c: rec[0, c]

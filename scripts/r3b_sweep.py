@@ -60,9 +60,16 @@ def _reduce_probe_kernel(red: str, iters: int):
                 # overlap this is ~1 reduce + small issue cost, not 4x).
                 r = jnp.int32(0)
                 for q in range(4):
-                    r = r | (jnp.sum((m >> q) << 16 | m) & (255 << (8 * q)))
+                    # 255 << 24 overflows int32 as a Python literal; route
+                    # the mask through uint32 so the jit arg stays in range.
+                    mask = jnp.full((), 255 << (8 * q), jnp.uint32)
+                    r = r | (jnp.sum((m >> q) << 16 | m)
+                             & mask.astype(jnp.int32))
             elif red == "or":
-                r = jnp.bitwise_or.reduce(m << 16 | m)
+                # explicit lax.reduce: np.bitwise_or.reduce's weak-typed
+                # init clashed with the fori carry (int32[] vs weak).
+                r = jax.lax.reduce(m << 16 | m, jnp.int32(0),
+                                   jax.lax.bitwise_or, (0, 1))
             elif red == "max":
                 r = jnp.max(m << 16 | m)
             elif red == "roll1row":
