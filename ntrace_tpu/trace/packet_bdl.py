@@ -70,7 +70,17 @@ B = 8                   # nodes popped per step
 
 
 def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
-                 drain_min: int, merge_sibs: bool, qgroup: int):
+                 drain_min: int, merge_sibs: bool, qgroup: int,
+                 probe: str = "none"):
+    """probe != "none" builds a WRONG-RESULTS compile-bisect variant: the
+    full kernel crashes the TPU backend compiler with an opaque helper
+    error (round-3c), so each value knocks out one section to locate the
+    lethal construct on device (scripts/bdl_compile_bisect.py):
+      noslab -- skip node-record loads + slab tests (wants = all)
+      novrd  -- skip the roll-fold/sum verdict (bits = all)
+      noenq  -- skip leaf enqueues
+      nodrn  -- skip the drain while-loop
+    """
     shape = (rows, 128)
     # Queue granularity: one run queue per GROUP of qgroup ray rows.
     # qgroup == 1 is the per-row dleaf scheme; larger groups divide the
@@ -177,15 +187,19 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
             recs = [nodes_ref[pl.ds(jnp.maximum(nd, 0), 1), :]
                     for nd in nodes]
             p = jnp.zeros(shape, jnp.int32)
-            for j in range(B):
-                rb = rep_rows(recs[j], rows)
-                h0 = slab(rb, 0, live_t)
-                h1 = slab(rb, 6, live_t)
-                act = nodes[j] >= 0
-                p = (p
-                     | jnp.where(act, h0, False).astype(jnp.int32) << (2 * j)
-                     | jnp.where(act, h1, False).astype(jnp.int32)
-                     << (2 * j + 1))
+            if probe == "noslab":   # compile-bisect: wants = everything
+                p = p + jnp.int32(0xFFFF)
+            else:
+                for j in range(B):
+                    rb = rep_rows(recs[j], rows)
+                    h0 = slab(rb, 0, live_t)
+                    h1 = slab(rb, 6, live_t)
+                    act = nodes[j] >= 0
+                    p = (p
+                         | jnp.where(act, h0, False).astype(jnp.int32)
+                         << (2 * j)
+                         | jnp.where(act, h1, False).astype(jnp.int32)
+                         << (2 * j + 1))
 
             # --- per-ROW wants masks as scalars -------------------------
             # Lane roll-OR keeps the row axis: every lane of row r ends
@@ -193,41 +207,49 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
             # reduces (latencies overlap) then extract two rows' masks
             # per int32: lane-0 masking leaves exactly one contribution
             # per row, so the sum is an exact bit-OR.
-            for sh in (64, 32, 16, 8, 4, 2, 1):
-                p = p | pltpu.roll(p, sh, axis=1)
-            p0 = jnp.where(lane == 0, p, 0)
-            ws = []
-            for q in range(rows // 2):
-                ws.append(jnp.sum(
-                    jnp.where(rowi == 2 * q, p0, 0)
-                    + jnp.where(rowi == 2 * q + 1,
-                                jax.lax.shift_left(p0, 16), 0)))
-            anyb = ws[0]
-            for w in ws[1:]:
-                anyb = anyb | w
-            anyb = anyb | jax.lax.shift_right_logical(anyb, 16)
+            if probe == "novrd":    # compile-bisect: bits = all set
+                def bit(s):
+                    return jnp.bool_(True)
 
-            def bit(s):  # any-hit bool of child slot s (0..2B-1)
-                return jnp.bitwise_and(
-                    jax.lax.shift_right_logical(anyb, s), 1) > 0
-
-            # Per-GROUP 16-bit wants masks (computed once per step; the
-            # enqueue bit tests read these).  ws[q] packs row 2q's mask
-            # in the low half and row 2q+1's in the high half; a group's
-            # mask is the OR over its member rows.  High-half junk above
-            # bit 15 is harmless: enqueue extracts single bits <= 15.
-            gm = []
-            if qgroup == 1:
-                for r in range(rows):
-                    gm.append(jax.lax.shift_right_logical(
-                        ws[r // 2], 16 * (r % 2)))
+                gm = [jnp.int32(0xFFFF)] * G
             else:
-                for g in range(G):
-                    qs = range(g * qgroup // 2, (g + 1) * qgroup // 2)
-                    acc = None
-                    for q in qs:
-                        acc = ws[q] if acc is None else acc | ws[q]
-                    gm.append(acc | jax.lax.shift_right_logical(acc, 16))
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    p = p | pltpu.roll(p, sh, axis=1)
+                p0 = jnp.where(lane == 0, p, 0)
+                ws = []
+                for q in range(rows // 2):
+                    ws.append(jnp.sum(
+                        jnp.where(rowi == 2 * q, p0, 0)
+                        + jnp.where(rowi == 2 * q + 1,
+                                    jax.lax.shift_left(p0, 16), 0)))
+                anyb = ws[0]
+                for w in ws[1:]:
+                    anyb = anyb | w
+                anyb = anyb | jax.lax.shift_right_logical(anyb, 16)
+
+                def bit(s):  # any-hit bool of child slot s (0..2B-1)
+                    return jnp.bitwise_and(
+                        jax.lax.shift_right_logical(anyb, s), 1) > 0
+
+                # Per-GROUP 16-bit wants masks (computed once per step;
+                # the enqueue bit tests read these).  ws[q] packs row
+                # 2q's mask in the low half and row 2q+1's in the high
+                # half; a group's mask is the OR over its member rows.
+                # High-half junk above bit 15 is harmless: enqueue
+                # extracts single bits <= 15.
+                gm = []
+                if qgroup == 1:
+                    for r in range(rows):
+                        gm.append(jax.lax.shift_right_logical(
+                            ws[r // 2], 16 * (r % 2)))
+                else:
+                    for g in range(G):
+                        qs = range(g * qgroup // 2, (g + 1) * qgroup // 2)
+                        acc = None
+                        for q in qs:
+                            acc = ws[q] if acc is None else acc | ws[q]
+                        gm.append(acc
+                                  | jax.lax.shift_right_logical(acc, 16))
 
             def enqueue(s, row0, nrows, pending, s2=-1):
                 """Push (row0, nrows) onto the queue of every GROUP whose
@@ -272,7 +294,9 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                 b0 = bit(2 * j)
                 b1 = bit(2 * j + 1)
                 # leaves -> per-row run queues
-                if merge_sibs:
+                if probe == "noenq":   # compile-bisect: skip enqueues
+                    pass
+                elif merge_sibs:
                     # Contiguous sibling leaf runs (flatten.py emits
                     # sibling leaves adjacently) collapse into ONE
                     # enqueue with OR'd wants: halves the dominant
@@ -331,8 +355,9 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
             def dcond(a):
                 return (a[0] >= drain_min) | ((sp == 0) & (a[0] > 0))
 
-            pending, hit_t, hit_id, hit_u, hit_v = jax.lax.while_loop(
-                dcond, drain, (pending, hit_t, hit_id, hit_u, hit_v))
+            if probe != "nodrn":   # compile-bisect: skip the drain loop
+                pending, hit_t, hit_id, hit_u, hit_v = jax.lax.while_loop(
+                    dcond, drain, (pending, hit_t, hit_id, hit_u, hit_v))
             if any_hit:
                 all_hit = jnp.all((hit_id >= 0) | dead)
                 sp = jnp.where(all_hit, jnp.int32(0), sp)
@@ -356,14 +381,15 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit",
                      "tris_per_row", "light", "drain_min", "merge_sibs",
-                     "qgroup"),
+                     "qgroup", "probe"),
 )
 def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
                      any_hit: bool = False, rows: int = 16,
                      interpret: bool = False, vmem_limit: int = 0,
                      tris_per_row: int = TRIS_PER_ROW,
                      light: bool = False, drain_min: int = 0,
-                     merge_sibs: bool = False, qgroup: int = 1):
+                     merge_sibs: bool = False, qgroup: int = 1,
+                     probe: str = "none"):
     """Trace rays through a PackedBVH (nodes_per_row == 1) with the
     batched-node + deferred-leaf kernel.  Same contract as trace_packet:
     returns (hit_tri, t, u, v), hit_tri == -1 on miss; rays padded to
@@ -418,7 +444,7 @@ def trace_packet_bdl(nodes8, tris12, orig, dirn, tmin, tmax, *,
             vmem_limit_bytes=limit)
     outs = pl.pallas_call(
         _make_kernel(rows, any_hit, light, tris_per_row, dmin, merge_sibs,
-                     qgroup),
+                     qgroup, probe),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=[outf_spec, outi_spec],

@@ -50,7 +50,11 @@ B = 8                       # nodes popped per step
 
 
 def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
-                 lu: int = 1, verdict: str = "sum4"):
+                 lu: int = 1, verdict: str = "sum4", probe: str = "none"):
+    """probe != "none" builds a WRONG-RESULTS compile-bisect variant (the
+    full kernel crashes the TPU backend compiler with an opaque helper
+    error -- see packet_bdl._make_kernel): noslab / novrd / noleafq
+    knock out one section each to locate the lethal construct."""
     shape = (rows, 128)
 
     def kernel(nodes_ref, tris_ref, rays_ref, out_f, out_id, stack_ref,
@@ -168,25 +172,41 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
             recs = [nodes_ref[pl.ds(jnp.maximum(nd, 0), 1), :]
                     for nd in nodes]
             p = jnp.zeros(shape, jnp.int32)
-            for j in range(B):
-                rb = rep_rows(recs[j], rows)
-                rln = lambda c, rb=rb: rb[:, c: c + 1]
-                h0 = slab(rln, 0, live_t)
-                h1 = slab(rln, 6, live_t)
-                act = nodes[j] >= 0
-                p = (p | jnp.where(act, h0, False).astype(jnp.int32) << (2 * j)
-                     | jnp.where(act, h1, False).astype(jnp.int32) << (2 * j + 1))
+            if probe == "noslab":   # compile-bisect: wants = everything
+                p = p + jnp.int32(0xFFFF)
+            else:
+                for j in range(B):
+                    rb = rep_rows(recs[j], rows)
+                    rln = lambda c, rb=rb: rb[:, c: c + 1]
+                    h0 = slab(rln, 0, live_t)
+                    h1 = slab(rln, 6, live_t)
+                    act = nodes[j] >= 0
+                    p = (p
+                         | jnp.where(act, h0, False).astype(jnp.int32)
+                         << (2 * j)
+                         | jnp.where(act, h1, False).astype(jnp.int32)
+                         << (2 * j + 1))
 
             # --- verdict: sublane-OR fold, then either 4 independent
             # packed reduces (each int32 holds 4 fields of 8 bits; <=128
             # lanes contribute <=1 each after the fold, so fields never
             # overflow -- independent reduces overlap their latencies) or
             # a 7-step lane roll-OR tree + ONE extract (verdict="roll").
+            if probe == "novrd":    # compile-bisect: bits = all set
+                def bit(s):
+                    return jnp.bool_(True)
+
+                p = p  # fold + reduce skipped
+                verdict_done = True
+            else:
+                verdict_done = False
             w = rows
-            while w > 1:
+            while w > 1 and not verdict_done:
                 w //= 2
                 p = p[:w] | p[w:2 * w]
-            if verdict == "roll":
+            if verdict_done:
+                pass
+            elif verdict == "roll":
                 for sh in (64, 32, 16, 8, 4, 2, 1):
                     p = p | pltpu.roll(p, sh, axis=1)
                 vbits = p[0, 0]
@@ -252,7 +272,8 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
                 nr = lq_ref[2 * q + 1]
                 return leaf_rows(row0, nr, hs)
 
-            hs = jax.lax.fori_loop(0, lqc, qbody, hs)
+            if probe != "noleafq":  # compile-bisect: skip leaf batch
+                hs = jax.lax.fori_loop(0, lqc, qbody, hs)
             hit_t, hit_id, hit_u, hit_v = hs
             if any_hit:
                 sp = jnp.where(jnp.all((hit_id >= 0) | dead),
@@ -275,13 +296,15 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "rows", "interpret", "vmem_limit",
-                     "tris_per_row", "light", "leaf_unroll", "verdict"),
+                     "tris_per_row", "light", "leaf_unroll", "verdict",
+                     "probe"),
 )
 def trace_packet_bfs(nodes8, tris12, orig, dirn, tmin, tmax, *,
                      any_hit: bool = False, rows: int = 16,
                      interpret: bool = False, vmem_limit: int = 0,
                      tris_per_row: int = 12, light: bool = False,
-                     leaf_unroll: int = 1, verdict: str = "sum4"):
+                     leaf_unroll: int = 1, verdict: str = "sum4",
+                     probe: str = "none"):
     """Trace rays through a PackedBVH (nodes_per_row == 1) with the
     BFS node-batch kernel. Same contract as trace_packet."""
     if rows % 8 != 0:
@@ -329,7 +352,7 @@ def trace_packet_bfs(nodes8, tris12, orig, dirn, tmin, tmax, *,
             vmem_limit_bytes=limit)
     outs = pl.pallas_call(
         _make_kernel(rows, any_hit, tris_per_row, light, leaf_unroll,
-                     verdict),
+                     verdict, probe),
         grid=(grid,),
         in_specs=[table_spec, table_spec, in_spec],
         out_specs=[outf_spec, outi_spec],
