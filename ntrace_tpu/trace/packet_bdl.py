@@ -194,12 +194,14 @@ def _make_kernel(rows: int, any_hit: bool, light: bool, tpr: int,
                     rb = rep_rows(recs[j], rows)
                     h0 = slab(rb, 0, live_t)
                     h1 = slab(rb, 6, live_t)
+                    # (h & act) not jnp.where(act, h, False): a traced
+                    # rank-0 cond in a vector select crashes the Mosaic
+                    # backend (scripts/bfs_construct_bisect.py sc_where);
+                    # the rank-0 binop broadcast lowers fine.
                     act = nodes[j] >= 0
                     p = (p
-                         | jnp.where(act, h0, False).astype(jnp.int32)
-                         << (2 * j)
-                         | jnp.where(act, h1, False).astype(jnp.int32)
-                         << (2 * j + 1))
+                         | (h0 & act).astype(jnp.int32) << (2 * j)
+                         | (h1 & act).astype(jnp.int32) << (2 * j + 1))
 
             # --- per-ROW wants masks as scalars -------------------------
             # Lane roll-OR keeps the row axis: every lane of row r ends

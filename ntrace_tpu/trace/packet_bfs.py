@@ -180,12 +180,14 @@ def _make_kernel(rows: int, any_hit: bool, tpr: int, light: bool = False,
                     rln = lambda c, rb=rb: rb[:, c: c + 1]
                     h0 = slab(rln, 0, live_t)
                     h1 = slab(rln, 6, live_t)
+                    # (h & act) not jnp.where(act, h, False): a traced
+                    # rank-0 cond in a vector select crashes the Mosaic
+                    # backend (scripts/bfs_construct_bisect.py sc_where);
+                    # the rank-0 binop broadcast lowers fine.
                     act = nodes[j] >= 0
                     p = (p
-                         | jnp.where(act, h0, False).astype(jnp.int32)
-                         << (2 * j)
-                         | jnp.where(act, h1, False).astype(jnp.int32)
-                         << (2 * j + 1))
+                         | (h0 & act).astype(jnp.int32) << (2 * j)
+                         | (h1 & act).astype(jnp.int32) << (2 * j + 1))
 
             # --- verdict: sublane-OR fold, then either 4 independent
             # packed reduces (each int32 holds 4 fields of 8 bits; <=128
