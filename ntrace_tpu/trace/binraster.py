@@ -1,0 +1,421 @@
+"""Screen-space binned primary-ray engine ("bin-raster", TPU-first).
+
+Reference parity: serves the same benchmark surface as the upstream
+persistent packet tracers on PRIMARY rays (SURVEY.md SS3.3 -- coherent
+camera rays are the headline workload), with identical results: exact
+Moller-Trumbore intersection, closest hit, lowest-tri-id tie-break.
+The upstream has no counterpart component -- this engine exists because
+BVH pointer-chasing is the TPU's worst case (one in-order scalar pipe
+drives every traversal decision; PERF_NOTES.md round-2/3 kernel-structure
+findings put the packet family's plateau at ~43 Mrays/s), while dense
+per-tile intersection is its best case.
+
+How it works (all stages on device, jit):
+  1. Project the scene's triangle vertices into continuous pixel coords
+     with the same camera model as ray/raygen.py primary().
+  2. Conservative screen-space bins: each triangle's pixel bbox selects
+     a range of TILE x TILE pixel bins (triangles crossing the near
+     plane fall back to all bins; triangles fully behind the camera or
+     off-screen are culled -- both exact, see _project_bbox).
+  3. Stream-expand (bin, tri) pairs and sort them by (bin, zmin) with a
+     single fused int32 key; gather triangle data into 128-lane rows of
+     12 tris (bvh/packed.py lane layout, lane 120 = row zmin).
+  4. One Pallas program loops over bins: the bin's (8, 128) ray-dir tile
+     (Morton pixel order makes every aligned 32x32 pixel block 1024
+     CONTIGUOUS ray slots), then walks the bin's contiguous, z-ascending
+     triangle rows front-to-back with unrolled independent row loads.
+     Early-z: once every ray in the tile has a hit nearer than the next
+     row's conservative zmin, the remaining rows cannot produce a closer
+     hit (t >= z along unit fwd for unit dirs) and the bin terminates.
+
+Exactness: bins only CULL; every surviving candidate runs the identical
+MT arithmetic as trace/packet_pallas.py (same op order, same f32
+rounding), and lexicographic (t, tri_id) min is visit-order invariant.
+Rows straddling bin boundaries test a neighbour's real triangles --
+extra exact tests can't change a closest hit (bvh/packed.py argument).
+Early-z skips only rows with zmin_enc > max t in the tile, where
+zmin_enc <= zmin_true * (1 - Z_MARGIN) absorbs f32 rounding between the
+projection arithmetic and the MT t computation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntrace_tpu.bvh.packed import TRI_LANES
+
+TPB = 12                 # triangles per 128-lane row (12 * 10 lanes)
+ZLANE = 120              # row lane holding the row's conservative zmin
+INF = np.float32(3.0e38)
+Z_MARGIN = np.float32(3e-5)   # relative slack: projection vs MT rounding
+
+
+# --------------------------------------------------------------------------
+# Host-side bin bookkeeping
+
+
+def bin_order(tx_bins: int, ty_bins: int) -> np.ndarray:
+    """(ty*TX+tx) -> bin slot, matching the Morton pixel table's block
+    order: sorting pixels by 2D Morton code makes every aligned 2^k x 2^k
+    pixel block contiguous, and blocks appear in Morton order of their
+    block coordinates -- exactly pixel_table(TX, TY)'s inverse map."""
+    from ntrace_tpu.ray.pixeltable import pixel_table
+
+    _, inv = pixel_table(tx_bins, ty_bins)
+    return inv.astype(np.int32)
+
+
+def pick_pmax(total: int) -> int:
+    """Static pair-capacity bucket (geometric, multiple of TPB*8 so the
+    row table reshapes cleanly); bounded recompiles as the camera moves."""
+    cap = 96 * 1024
+    while cap < total * 1.15 + 96:
+        cap = cap * 3 // 2
+        cap -= cap % 96
+    return cap
+
+
+# --------------------------------------------------------------------------
+# Device prep: project -> bin -> expand -> sort -> row table
+
+
+def _project(verts, cam):
+    """Continuous pixel coords + camera-space depth of every vertex.
+
+    Matches ray/raygen.py primary(): ndc_x = (q.R)/(q.F)/tan_x, pixel
+    center x+0.5 at px = (ndc_x+1)/2*W.
+    """
+    q = verts - cam["pos"]                       # (n, 3, 3)
+    zc = jnp.einsum("nvc,c->nv", q, cam["fwd"])
+    xc = jnp.einsum("nvc,c->nv", q, cam["right"])
+    yc = jnp.einsum("nvc,c->nv", q, cam["up"])
+    return xc, yc, zc
+
+
+def _counts(verts, cam, *, width, height, tile):
+    """Per-tri bin-rectangle + pair count (stage shared by the cheap
+    count-only pass and the full prep)."""
+    txn, tyn = width // tile, height // tile
+    xc, yc, zc = _project(verts, cam)
+    zeps = jnp.float32(1e-7)
+    behind = zc <= zeps
+    n_behind = jnp.sum(behind, axis=1)
+    w = jnp.maximum(zc, zeps)
+    px = (xc / w / cam["tan_x"] + 1.0) * jnp.float32(0.5 * width)
+    py = (1.0 - yc / w / cam["tan_y"]) * jnp.float32(0.5 * height)
+    pad = jnp.float32(1e-2)                      # pixel-space f32 slack
+    minx, maxx = jnp.min(px, 1) - pad, jnp.max(px, 1) + pad
+    miny, maxy = jnp.min(py, 1) - pad, jnp.max(py, 1) + pad
+    # Pixel-center sample points live at (x+0.5, y+0.5) in (0, W)x(0, H).
+    offscreen = (maxx < 0) | (minx > width) | (maxy < 0) | (miny > height)
+    cull = (n_behind == 3) | (offscreen & (n_behind == 0))
+    mixed = (n_behind > 0) & (n_behind < 3)
+    ts = jnp.float32(tile)
+    tx0 = jnp.clip(jnp.floor(minx / ts).astype(jnp.int32), 0, txn - 1)
+    tx1 = jnp.clip(jnp.floor(maxx / ts).astype(jnp.int32), 0, txn - 1)
+    ty0 = jnp.clip(jnp.floor(miny / ts).astype(jnp.int32), 0, tyn - 1)
+    ty1 = jnp.clip(jnp.floor(maxy / ts).astype(jnp.int32), 0, tyn - 1)
+    # Near-plane crossers: conservative full-screen rectangle (rare --
+    # only triangles inside the camera's near-plane band).
+    tx0 = jnp.where(mixed, 0, tx0)
+    ty0 = jnp.where(mixed, 0, ty0)
+    tx1 = jnp.where(mixed, txn - 1, tx1)
+    ty1 = jnp.where(mixed, tyn - 1, ty1)
+    cnt = jnp.where(cull, 0, (tx1 - tx0 + 1) * (ty1 - ty0 + 1))
+    zmin = jnp.min(jnp.maximum(zc, jnp.float32(0.0)), axis=1)
+    return tx0, tx1, ty0, ty1, cnt.astype(jnp.int32), zmin
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile"))
+def count_pairs(verts, cam, *, width, height, tile):
+    """Total (bin, tri) pair count -- host pulls this one scalar to pick
+    the static p_max bucket before tracing."""
+    *_, cnt, _ = _counts(verts, cam, width=width, height=height, tile=tile)
+    return jnp.sum(cnt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile", "p_max"))
+def binraster_prep(verts, cam, block_bin, *, width, height, tile, p_max):
+    """Build the bin-raster tables: z-sorted per-bin triangle rows.
+
+    Returns (rows (NR,128) f32, row0 (NB,) i32, row1 (NB,) i32,
+    total_pairs i32). Overflow (total > p_max) must be checked by the
+    caller via total_pairs; rows are exact for any total <= p_max.
+    """
+    n = verts.shape[0]
+    txn, tyn = width // tile, height // tile
+    nb = txn * tyn
+    tx0, tx1, ty0, ty1, cnt, zmin = _counts(
+        verts, cam, width=width, height=height, tile=tile)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+    total = starts[-1] + cnt[-1]
+
+    # Stream expansion: pair j belongs to the first tri whose cumulative
+    # end exceeds j (scatter-add at ends + cumsum == searchsorted-right,
+    # O(P) instead of a log-n gather cascade).
+    ends = starts + cnt
+    marks = jnp.zeros((p_max + 1,), jnp.int32).at[
+        jnp.minimum(ends, p_max)].add(1, mode="drop")
+    tri_of = jnp.cumsum(marks[:p_max])           # (p_max,)
+    tri_of = jnp.minimum(tri_of, n - 1)
+    j = jnp.arange(p_max, dtype=jnp.int32)
+    valid = j < total
+    local = j - starts[tri_of]
+    wbin = tx1[tri_of] - tx0[tri_of] + 1
+    bx = tx0[tri_of] + local % wbin
+    by = ty0[tri_of] + local // wbin
+    bin_slot = block_bin[by * txn + bx]
+
+    # Fused sort key: bin in the high bits, truncated zmin bits low.
+    # Truncation (>> 11) rounds positive floats DOWN -> decoded row zmin
+    # is conservative. 21 z bits keep ~12 mantissa bits at any scale.
+    zsafe = jnp.maximum(zmin[tri_of] * (1.0 - Z_MARGIN), 0.0)
+    zbits = (jax.lax.bitcast_convert_type(zsafe, jnp.int32) >> 11) & 0x1FFFFF
+    key = jnp.where(valid, (bin_slot << 21) | zbits, jnp.int32(0x7FFFFFFF))
+    key, stri = jax.lax.sort((key, tri_of), num_keys=1)
+    sbin = key >> 21
+
+    # Per-bin row ranges (rows may straddle bins; superset testing is
+    # exact, see module docstring).
+    bins = jnp.arange(nb, dtype=jnp.int32)
+    pair0 = jnp.searchsorted(sbin, bins, side="left").astype(jnp.int32)
+    pair1 = jnp.searchsorted(sbin, bins, side="right").astype(jnp.int32)
+    row0 = pair0 // TPB
+    row1 = (pair1 + TPB - 1) // TPB
+
+    # Row table: bvh/packed.py triangle lane layout (v0, e1, e2, tid).
+    sv = verts[stri]                             # (p_max, 3, 3)
+    svalid = key != jnp.int32(0x7FFFFFFF)
+    v0 = sv[:, 0]
+    lanes = jnp.concatenate([
+        v0, sv[:, 1] - v0, sv[:, 2] - v0,
+        jnp.where(svalid, stri, -1).astype(jnp.float32)[:, None],
+    ], axis=1)                                   # (p_max, 10)
+    nr = p_max // TPB
+    rows = jnp.zeros((nr, 128), jnp.float32)
+    rows = rows.at[:, : TPB * TRI_LANES].set(
+        lanes.reshape(nr, TPB * TRI_LANES))
+    # Lane 120: conservative row zmin for the kernel's early-z cutoff
+    # (truncated bits round down, so decoded <= true zmin).
+    zdec = jax.lax.bitcast_convert_type((key & 0x1FFFFF) << 11, jnp.float32)
+    zdec = jnp.where(svalid, zdec, INF)
+    rowz = jnp.min(zdec.reshape(nr, TPB), axis=1)
+    rows = rows.at[:, ZLANE].set(rowz)
+    return rows, row0, row1, total
+
+
+# --------------------------------------------------------------------------
+# The Pallas kernel
+
+
+def _make_kernel(n_bins: int, unroll: int, ez_chunk: int, n_rows: int):
+    shape = (8, 128)
+
+    def kernel(scal_ref, row0_ref, row1_ref, rows_ref, dirs_ref,
+               out_t, out_id, out_u, out_v):
+        nr8 = n_bins * 8
+        ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
+        tn, tx = scal_ref[3], scal_ref[4]
+
+        def bin_body(b, _):
+            base = b * 8
+            dx = dirs_ref[pl.ds(base, 8), :]
+            dy = dirs_ref[pl.ds(nr8 + base, 8), :]
+            dz = dirs_ref[pl.ds(2 * nr8 + base, 8), :]
+            zero = jnp.zeros(shape, jnp.float32)
+            cur_t = zero + tx
+            cur_id = jnp.zeros(shape, jnp.int32) - 1
+            r0 = row0_ref[b]
+            r1 = row1_ref[b]
+
+            def mt_row(trow, hs):
+                cur_t, cur_id, cur_u, cur_v = hs
+                ln = lambda c: trow[0, c]
+                cands = []
+                for jj in range(TPB):
+                    bl = TRI_LANES * jj
+                    v0x, v0y, v0z = ln(bl + 0), ln(bl + 1), ln(bl + 2)
+                    e1x, e1y, e1z = ln(bl + 3), ln(bl + 4), ln(bl + 5)
+                    e2x, e2y, e2z = ln(bl + 6), ln(bl + 7), ln(bl + 8)
+                    tid = ln(bl + 9).astype(jnp.int32)
+                    # Identical MT arithmetic (op order, rounding) as
+                    # trace/packet_pallas.py -- bit-equal t/u/v.
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv = np.float32(1.0) / jnp.where(
+                        det == 0, np.float32(1.0), det)
+                    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                    u = (tvx * px + tvy * py + tvz * pz) * inv
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    ok = ((det != 0) & (tid >= 0) & (u >= 0) & (v >= 0)
+                          & (u + v <= 1) & (t > tn))
+                    cands.append((
+                        jnp.where(ok, t, INF),
+                        jnp.where(ok, tid, jnp.int32(0x7FFFFFFF)),
+                        u, v,
+                    ))
+                while len(cands) > 1:
+                    nxt = []
+                    for a, bnd in zip(cands[0::2], cands[1::2]):
+                        take = (bnd[0] < a[0]) | ((bnd[0] == a[0])
+                                                  & (bnd[1] < a[1]))
+                        nxt.append(tuple(jnp.where(take, bnd[i], a[i])
+                                         for i in range(4)))
+                    if len(cands) % 2:
+                        nxt.append(cands[-1])
+                    cands = nxt
+                bt, bid = cands[0][0], cands[0][1]
+                acc = (bt < cur_t) | ((bt == cur_t) & (bid < cur_id))
+                return (jnp.where(acc, bt, cur_t),
+                        jnp.where(acc, bid, cur_id),
+                        jnp.where(acc, cands[0][2], cur_u),
+                        jnp.where(acc, cands[0][3], cur_v))
+
+            def chunk_rows(r, hs, count):
+                # `count` unrolled independent row loads (latencies
+                # overlap; stray rows past r1 hold a neighbour bin's real
+                # triangles or inert tid=-1 pad -- exact either way).
+                tbs = [rows_ref[pl.ds(jnp.minimum(r + i, n_rows - 1), 1), :]
+                       for i in range(count)]
+                for tb in tbs:
+                    hs = mt_row(tb, hs)
+                return hs
+
+            hs = (cur_t, cur_id, zero, zero)
+            if ez_chunk == 0:
+                n_it = (r1 - r0 + (unroll - 1)) // unroll
+
+                def fbody(k, hs):
+                    return chunk_rows(r0 + k * unroll, hs, unroll)
+
+                hs = jax.lax.fori_loop(0, n_it, fbody, hs)
+            else:
+                # Early-z chunk loop: rows are zmin-ascending inside the
+                # bin; stop once the next row's conservative zmin exceeds
+                # every ray's current hit t (misses hold t = tmax, so a
+                # tile only cuts off after it is fully hit -- primaries
+                # indoors, the headline case).
+                def wcond(c):
+                    r, hs, live = c
+                    return (r < r1) & live
+
+                def wbody(c):
+                    r, hs, _ = c
+                    hs = chunk_rows(r, hs, ez_chunk)
+                    rn = r + ez_chunk
+                    zrow = rows_ref[pl.ds(jnp.minimum(rn, n_rows - 1), 1), :]
+                    znext = zrow[0, ZLANE]
+                    live = znext <= jnp.max(hs[0])
+                    return rn, hs, live
+
+                _, hs, _ = jax.lax.while_loop(
+                    wcond, wbody, (r0, hs, jnp.bool_(True)))
+
+            out_t[pl.ds(base, 8), :] = hs[0]
+            out_id[pl.ds(base, 8), :] = hs[1]
+            out_u[pl.ds(base, 8), :] = hs[2]
+            out_v[pl.ds(base, 8), :] = hs[3]
+            return 0
+
+        jax.lax.fori_loop(0, n_bins, bin_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bins", "unroll", "ez_chunk", "interpret"))
+def trace_binraster_rows(rows, row0, row1, dirs, scalars, *,
+                         n_bins: int, unroll: int = 4, ez_chunk: int = 8,
+                         interpret: bool = False):
+    """Trace the prepped row tables. dirs: (3*n_bins*8, 128) f32 component-
+    stacked ray dirs in Morton slot order; scalars: (8,) f32
+    [ox, oy, oz, tmin, tmax, 0, 0, 0]. Returns (tri, t, u, v) flat
+    (n_bins*1024,) in slot order; tri == -1 on miss."""
+    nr8 = n_bins * 8
+    nrows = rows.shape[0]
+    params = {}
+    if not interpret:
+        table_bytes = (rows.shape[0] + dirs.shape[0] + 4 * nr8) * 128 * 4
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(table_bytes + (16 << 20), 127 << 20))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_kernel(n_bins, unroll, ez_chunk, nrows),
+        in_specs=[sspec, sspec, sspec, vspec, vspec],
+        out_specs=[vspec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((nr8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nr8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nr8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nr8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        **params,
+    )(scalars, row0, row1, rows, dirs)
+    t = out[0].reshape(-1)
+    tri = out[1].reshape(-1)
+    return tri, t, out[2].reshape(-1), out[3].reshape(-1)
+
+
+# --------------------------------------------------------------------------
+# Public entry: full primary-frame trace
+
+
+def trace_binraster_primary(verts_dev, cam, dirn, *, width, height,
+                            tile=32, unroll=4, ez_chunk=8,
+                            interpret=False, p_max=None):
+    """Primary-ray closest-hit over the full camera grid.
+
+    verts_dev: (n,3,3) f32 device triangle vertices. cam: raygen
+    camera_arrays dict. dirn: (W*H, 3) normalized dirs in Morton slot
+    order (raygen.primary output). Returns (tri, t, u, v) in slot order.
+
+    Caller contract: W % tile == 0 and H % tile == 0 and tile a power of
+    two (Morton blocks are only contiguous for power-of-two tiles).
+    """
+    if width % tile or height % tile or tile & (tile - 1):
+        raise ValueError("W/H must be multiples of the power-of-two tile")
+    txn, tyn = width // tile, height // tile
+    nb = txn * tyn
+    if p_max is None:
+        total = int(count_pairs(verts_dev, cam,
+                                width=width, height=height, tile=tile))
+        p_max = pick_pmax(total)
+    block_bin = jnp.asarray(bin_order(txn, tyn))
+    rows, row0, row1, total_t = binraster_prep(
+        verts_dev, cam, block_bin,
+        width=width, height=height, tile=tile, p_max=p_max)
+    if int(total_t) > p_max:
+        # Bucket raced a camera change; rebuild at the bigger bucket.
+        return trace_binraster_primary(
+            verts_dev, cam, dirn, width=width, height=height, tile=tile,
+            unroll=unroll, ez_chunk=ez_chunk, interpret=interpret,
+            p_max=pick_pmax(int(total_t)))
+    rays_per_bin = tile * tile
+    assert rays_per_bin % 128 == 0 and rays_per_bin // 128 == 8, \
+        "kernel tiles are (8,128): tile must be 32"
+    dirs = jnp.transpose(dirn).reshape(3 * nb * 8, 128)
+    scalars = jnp.concatenate([
+        cam["pos"].astype(jnp.float32),
+        jnp.stack([cam["znear"], cam["zfar"],
+                   jnp.float32(0), jnp.float32(0), jnp.float32(0)]),
+    ])
+    return trace_binraster_rows(
+        rows, row0, row1, dirs, scalars,
+        n_bins=nb, unroll=unroll, ez_chunk=ez_chunk, interpret=interpret)
