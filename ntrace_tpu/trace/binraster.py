@@ -213,14 +213,173 @@ def binraster_prep(verts, cam, block_bin, *, width, height, tile, p_max):
 
 
 # --------------------------------------------------------------------------
+# Gather-free "fixed-slot" prep (v2)
+#
+# The v0 prep's stream expansion gathers ~7 per-tri arrays at p_max random
+# indices plus a (p_max, 3, 3) verts gather -- and large-index gathers are
+# the TPU's slowest primitive (PERF_NOTES.md: the LBVH bounds gathers were
+# that build's dominant cost too). The fixed-slot formulation has ZERO
+# p_max-sized gathers: each triangle owns k_slots static pair slots
+# (slot k -> bin rect cell k, dense vectorized math over the tri axis),
+# the triangle's 10 row lanes ride the sort as payload operands (the
+# 17-operand LBVH sort proved wide payload sorts cheap), and the handful
+# of triangles covering more than k_slots bins (plus near-plane crossers)
+# fall into a z-sorted GLOBAL row prefix every bin tests first.
+
+
+def _bin_mcodes(txn: int, tyn: int) -> np.ndarray:
+    """Sorted 2D Morton codes of all bins: bin slot b (Morton block rank,
+    == bin_order's target space) has code _bin_mcodes(...)[b]."""
+    from ntrace_tpu.ops.morton import morton2d
+
+    bx, by = np.meshgrid(np.arange(txn), np.arange(tyn))
+    mc = np.sort(morton2d(np, bx.ravel(), by.ravel()))
+    if mc[-1] >= 1 << 10:
+        raise ValueError("bin grid too large for the 31-bit fused sort key")
+    return mc.astype(np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile", "k_slots"))
+def count_pairs_fast(verts, cam, *, width, height, tile, k_slots):
+    """(dense-tier pair count, overflow-tri count) -- host pulls these to
+    pick the static p_max / g_max buckets."""
+    *_, cnt, _ = _counts(verts, cam, width=width, height=height, tile=tile)
+    over = cnt > k_slots
+    return (jnp.sum(jnp.where(over, 0, cnt)),
+            jnp.sum(over.astype(jnp.int32)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "k_slots", "g_max",
+                     "p_max", "payload"))
+def binraster_prep_fast(verts, cam, mcodes, *, width, height, tile,
+                        k_slots, g_max, p_max, payload=True):
+    """Gather-free bin-raster prep.
+
+    Returns (rows, row0, row1, g_r1 (1,) i32, ok bool scalar). `rows`
+    holds g_max//TPB global-tier rows first, then p_max//TPB dense-tier
+    rows; row0/row1 are absolute row ranges per bin. `ok` is False when a
+    static bucket overflowed (dense pairs > p_max or overflow tris >
+    g_max) -- results are then incomplete and the caller must rebuild
+    with bigger buckets (trace_binraster_primary poisons hits with -2 so
+    an unchecked overflow fails golden gates loudly instead of silently).
+    """
+    from ntrace_tpu.ops.morton import _part1by1
+
+    n = verts.shape[0]
+    tx0, tx1, ty0, ty1, cnt, zmin = _counts(
+        verts, cam, width=width, height=height, tile=tile)
+    wbin = tx1 - tx0 + 1
+    over = cnt > k_slots
+    n_over = jnp.sum(over.astype(jnp.int32))
+    zsafe = jnp.maximum(zmin * (1.0 - Z_MARGIN), 0.0)
+    zbits = (jax.lax.bitcast_convert_type(zsafe, jnp.int32) >> 11) & 0x1FFFFF
+    SENT = jnp.int32(0x7FFFFFFF)
+
+    # Dense tier: slot k of tri i = cell k of i's bin rect (row-major).
+    cols = []
+    for k in range(k_slots):
+        kk = jnp.int32(k)
+        bx = tx0 + kk % wbin
+        by = ty0 + kk // wbin
+        mc = ((_part1by1(jnp, by) << jnp.uint32(1))
+              | _part1by1(jnp, bx)).astype(jnp.int32)
+        valid = (~over) & (kk < cnt)
+        cols.append(jnp.where(valid, (mc << 21) | zbits, SENT))
+    keys = jnp.stack(cols).reshape(-1)              # (k_slots * n,)
+
+    def padto(a, fill):                             # tiny scene: pad up
+        if a.shape[0] >= p_max:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((p_max - a.shape[0],), fill, a.dtype)])
+
+    keys = padto(keys, SENT)
+    v0 = verts[:, 0]
+    tid = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+    if payload:
+        pay = [v0[:, 0], v0[:, 1], v0[:, 2]]
+        pay += [verts[:, 1, c] - v0[:, c] for c in range(3)]
+        pay += [verts[:, 2, c] - v0[:, c] for c in range(3)]
+        pay.append(tid)
+        ops = (keys,) + tuple(
+            padto(jnp.tile(p, k_slots), 0) for p in pay)
+        srt = jax.lax.sort(ops, num_keys=1)
+        skey = srt[0][:p_max]
+        spay = [s[:p_max] for s in srt[1:]]
+        svalid = skey != SENT
+        spay[9] = jnp.where(svalid, spay[9], jnp.float32(-1.0))
+        lanes = jnp.stack(spay, axis=1)             # (p_max, 10)
+    else:
+        idx = padto(jnp.tile(jnp.arange(n, dtype=jnp.int32), k_slots), 0)
+        skey, stri = jax.lax.sort((keys, idx), num_keys=1)
+        skey, stri = skey[:p_max], stri[:p_max]
+        svalid = skey != SENT
+        sv = verts[stri]
+        sv0 = sv[:, 0]
+        lanes = jnp.concatenate([
+            sv0, sv[:, 1] - sv0, sv[:, 2] - sv0,
+            jnp.where(svalid, stri, -1).astype(jnp.float32)[:, None],
+        ], axis=1)
+    nr = p_max // TPB
+    rows_b = jnp.zeros((nr, 128), jnp.float32).at[:, : TPB * TRI_LANES].set(
+        lanes.reshape(nr, TPB * TRI_LANES))
+    zdec = jax.lax.bitcast_convert_type((skey & 0x1FFFFF) << 11, jnp.float32)
+    zdec = jnp.where(svalid, zdec, INF)
+    rows_b = rows_b.at[:, ZLANE].set(jnp.min(zdec.reshape(nr, TPB), axis=1))
+    sgroup = skey >> 21
+    pair0 = jnp.searchsorted(sgroup, mcodes, side="left").astype(jnp.int32)
+    pair1 = jnp.searchsorted(sgroup, mcodes, side="right").astype(jnp.int32)
+    row0 = pair0 // TPB
+    row1 = jnp.minimum((pair1 + TPB - 1) // TPB, nr)
+
+    # Global tier: overflow tris, z-ascending, tested by every bin.
+    okey = jnp.where(over, zbits, SENT)
+    oidx = jnp.arange(n, dtype=jnp.int32)
+    if n < g_max:
+        okey = jnp.concatenate([okey, jnp.full((g_max - n,), SENT)])
+        oidx = jnp.concatenate([oidx, jnp.zeros((g_max - n,), jnp.int32)])
+    sok, sidx = jax.lax.sort((okey, oidx), num_keys=1)
+    gk, gi = sok[:g_max], sidx[:g_max]
+    gvalid = gk != SENT
+    gv = verts[gi]
+    gv0 = gv[:, 0]
+    glanes = jnp.concatenate([
+        gv0, gv[:, 1] - gv0, gv[:, 2] - gv0,
+        jnp.where(gvalid, gi, -1).astype(jnp.float32)[:, None],
+    ], axis=1)
+    gnr = g_max // TPB
+    grows = jnp.zeros((gnr, 128), jnp.float32).at[:, : TPB * TRI_LANES].set(
+        glanes.reshape(gnr, TPB * TRI_LANES))
+    gzdec = jax.lax.bitcast_convert_type((gk & 0x1FFFFF) << 11, jnp.float32)
+    gzdec = jnp.where(gvalid, gzdec, INF)
+    grows = grows.at[:, ZLANE].set(jnp.min(gzdec.reshape(gnr, TPB), axis=1))
+    g_r1 = (jnp.minimum(n_over, g_max) + TPB - 1) // TPB
+
+    rows = jnp.concatenate([grows, rows_b], axis=0)
+    dense_total = jnp.sum(jnp.where(over, 0, cnt))
+    ok = (dense_total <= p_max) & (n_over <= g_max)
+    return (rows, row0 + gnr, row1 + gnr,
+            g_r1.reshape(1).astype(jnp.int32), ok)
+
+
+# --------------------------------------------------------------------------
 # The Pallas kernel
 
 
-def _make_kernel(n_bins: int, unroll: int, ez_chunk: int, n_rows: int):
+def _make_kernel(n_bins: int, unroll: int, ez_chunk: int, n_rows: int,
+                 g_prefix: bool = False):
     shape = (8, 128)
 
-    def kernel(scal_ref, row0_ref, row1_ref, rows_ref, dirs_ref,
-               out_t, out_id, out_u, out_v):
+    def kernel(*refs):
+        if g_prefix:
+            (scal_ref, row0_ref, row1_ref, gref, rows_ref, dirs_ref,
+             out_t, out_id, out_u, out_v) = refs
+        else:
+            (scal_ref, row0_ref, row1_ref, rows_ref, dirs_ref,
+             out_t, out_id, out_u, out_v) = refs
         nr8 = n_bins * 8
         ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
         tn, tx = scal_ref[3], scal_ref[4]
@@ -295,23 +454,23 @@ def _make_kernel(n_bins: int, unroll: int, ez_chunk: int, n_rows: int):
                     hs = mt_row(tb, hs)
                 return hs
 
-            hs = (cur_t, cur_id, zero, zero)
-            if ez_chunk == 0:
-                n_it = (r1 - r0 + (unroll - 1)) // unroll
+            def walk(w0, w1, hs):
+                if ez_chunk == 0:
+                    n_it = (w1 - w0 + (unroll - 1)) // unroll
 
-                def fbody(k, hs):
-                    return chunk_rows(r0 + k * unroll, hs, unroll)
+                    def fbody(k, hs):
+                        return chunk_rows(w0 + k * unroll, hs, unroll)
 
-                hs = jax.lax.fori_loop(0, n_it, fbody, hs)
-            else:
+                    return jax.lax.fori_loop(0, n_it, fbody, hs)
                 # Early-z chunk loop: rows are zmin-ascending inside the
-                # bin; stop once the next row's conservative zmin exceeds
-                # every ray's current hit t (misses hold t = tmax, so a
-                # tile only cuts off after it is fully hit -- primaries
-                # indoors, the headline case).
+                # range; stop once the next row's conservative zmin
+                # exceeds every ray's current hit t (misses hold t = tmax,
+                # so a tile only cuts off after it is fully hit --
+                # primaries indoors, the headline case).
+
                 def wcond(c):
                     r, hs, live = c
-                    return (r < r1) & live
+                    return (r < w1) & live
 
                 def wbody(c):
                     r, hs, _ = c
@@ -323,7 +482,17 @@ def _make_kernel(n_bins: int, unroll: int, ez_chunk: int, n_rows: int):
                     return rn, hs, live
 
                 _, hs, _ = jax.lax.while_loop(
-                    wcond, wbody, (r0, hs, jnp.bool_(True)))
+                    wcond, wbody, (w0, hs, jnp.bool_(True)))
+                return hs
+
+            hs = (cur_t, cur_id, zero, zero)
+            if g_prefix:
+                # Global tier: tris covering more bins than the fixed-slot
+                # prep's k_slots cap (plus near-plane crossers) live in a
+                # z-ascending row prefix every bin tests first -- exact
+                # (extra exact MT tests never change a closest hit).
+                hs = walk(jnp.int32(0), gref[0], hs)
+            hs = walk(r0, r1, hs)
 
             out_t[pl.ds(base, 8), :] = hs[0]
             out_id[pl.ds(base, 8), :] = hs[1]
@@ -339,15 +508,19 @@ def _make_kernel(n_bins: int, unroll: int, ez_chunk: int, n_rows: int):
 @functools.partial(
     jax.jit,
     static_argnames=("n_bins", "unroll", "ez_chunk", "interpret"))
-def trace_binraster_rows(rows, row0, row1, dirs, scalars, *,
+def trace_binraster_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
                          n_bins: int, unroll: int = 4, ez_chunk: int = 8,
                          interpret: bool = False):
     """Trace the prepped row tables. dirs: (3*n_bins*8, 128) f32 component-
     stacked ray dirs in Morton slot order; scalars: (8,) f32
-    [ox, oy, oz, tmin, tmax, 0, 0, 0]. Returns (tri, t, u, v) flat
-    (n_bins*1024,) in slot order; tri == -1 on miss."""
+    [ox, oy, oz, tmin, tmax, 0, 0, 0]. g_r1: optional (1,) i32 -- number
+    of global-tier rows at the head of `rows` that every bin must test
+    first (binraster_prep_fast's overflow tier); None = no global tier.
+    Returns (tri, t, u, v) flat (n_bins*1024,) in slot order; tri == -1
+    on miss."""
     nr8 = n_bins * 8
     nrows = rows.shape[0]
+    g_prefix = g_r1 is not None
     params = {}
     if not interpret:
         table_bytes = (rows.shape[0] + dirs.shape[0] + 4 * nr8) * 128 * 4
@@ -355,9 +528,16 @@ def trace_binraster_rows(rows, row0, row1, dirs, scalars, *,
             vmem_limit_bytes=min(table_bytes + (16 << 20), 127 << 20))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    args = [scalars, row0, row1]
+    in_specs = [sspec, sspec, sspec]
+    if g_prefix:
+        args.append(g_r1)
+        in_specs.append(sspec)
+    args += [rows, dirs]
+    in_specs += [vspec, vspec]
     out = pl.pallas_call(
-        _make_kernel(n_bins, unroll, ez_chunk, nrows),
-        in_specs=[sspec, sspec, sspec, vspec, vspec],
+        _make_kernel(n_bins, unroll, ez_chunk, nrows, g_prefix),
+        in_specs=in_specs,
         out_specs=[vspec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((nr8, 128), jnp.float32),
@@ -367,7 +547,7 @@ def trace_binraster_rows(rows, row0, row1, dirs, scalars, *,
         ],
         interpret=interpret,
         **params,
-    )(scalars, row0, row1, rows, dirs)
+    )(*args)
     t = out[0].reshape(-1)
     tri = out[1].reshape(-1)
     return tri, t, out[2].reshape(-1), out[3].reshape(-1)
@@ -377,14 +557,27 @@ def trace_binraster_rows(rows, row0, row1, dirs, scalars, *,
 # Public entry: full primary-frame trace
 
 
+def pick_gmax(n_over: int) -> int:
+    """Static global-tier bucket (multiple of TPB rows-of-12)."""
+    cap = 1536
+    while cap < n_over * 1.3 + 24:
+        cap = cap * 3 // 2
+        cap -= cap % 12
+    return cap
+
+
 def trace_binraster_primary(verts_dev, cam, dirn, *, width, height,
                             tile=32, unroll=4, ez_chunk=8,
-                            interpret=False, p_max=None):
+                            interpret=False, p_max=None, prep="fast",
+                            k_slots=8, g_max=None, payload=True):
     """Primary-ray closest-hit over the full camera grid.
 
     verts_dev: (n,3,3) f32 device triangle vertices. cam: raygen
     camera_arrays dict. dirn: (W*H, 3) normalized dirs in Morton slot
     order (raygen.primary output). Returns (tri, t, u, v) in slot order.
+
+    prep: "fast" (gather-free fixed-slot, the measured-fast path) or
+    "v0" (stream-expansion reference formulation -- same image).
 
     Caller contract: W % tile == 0 and H % tile == 0 and tile a power of
     two (Morton blocks are only contiguous for power-of-two tiles).
@@ -393,6 +586,35 @@ def trace_binraster_primary(verts_dev, cam, dirn, *, width, height,
         raise ValueError("W/H must be multiples of the power-of-two tile")
     txn, tyn = width // tile, height // tile
     nb = txn * tyn
+    rays_per_bin = tile * tile
+    assert rays_per_bin % 128 == 0 and rays_per_bin // 128 == 8, \
+        "kernel tiles are (8,128): tile must be 32"
+    dirs = jnp.transpose(dirn).reshape(3 * nb * 8, 128)
+    scalars = jnp.concatenate([
+        cam["pos"].astype(jnp.float32),
+        jnp.stack([cam["znear"], cam["zfar"],
+                   jnp.float32(0), jnp.float32(0), jnp.float32(0)]),
+    ])
+    if prep == "fast":
+        dense, n_over = count_pairs_fast(
+            verts_dev, cam, width=width, height=height, tile=tile,
+            k_slots=k_slots)
+        if p_max is None:
+            p_max = pick_pmax(int(dense))
+        if g_max is None:
+            g_max = pick_gmax(int(n_over))
+        mcodes = jnp.asarray(_bin_mcodes(txn, tyn))
+        rows, row0, row1, g_r1, ok = binraster_prep_fast(
+            verts_dev, cam, mcodes, width=width, height=height,
+            tile=tile, k_slots=k_slots, g_max=g_max, p_max=p_max,
+            payload=payload)
+        tri, t, u, v = trace_binraster_rows(
+            rows, row0, row1, dirs, scalars, g_r1,
+            n_bins=nb, unroll=unroll, ez_chunk=ez_chunk,
+            interpret=interpret)
+        # Static-bucket overflow poisons hits (-2) so any unchecked race
+        # with a camera change fails golden gates loudly.
+        return jnp.where(ok, tri, -2), t, u, v
     if p_max is None:
         total = int(count_pairs(verts_dev, cam,
                                 width=width, height=height, tile=tile))
@@ -406,16 +628,7 @@ def trace_binraster_primary(verts_dev, cam, dirn, *, width, height,
         return trace_binraster_primary(
             verts_dev, cam, dirn, width=width, height=height, tile=tile,
             unroll=unroll, ez_chunk=ez_chunk, interpret=interpret,
-            p_max=pick_pmax(int(total_t)))
-    rays_per_bin = tile * tile
-    assert rays_per_bin % 128 == 0 and rays_per_bin // 128 == 8, \
-        "kernel tiles are (8,128): tile must be 32"
-    dirs = jnp.transpose(dirn).reshape(3 * nb * 8, 128)
-    scalars = jnp.concatenate([
-        cam["pos"].astype(jnp.float32),
-        jnp.stack([cam["znear"], cam["zfar"],
-                   jnp.float32(0), jnp.float32(0), jnp.float32(0)]),
-    ])
+            p_max=pick_pmax(int(total_t)), prep="v0")
     return trace_binraster_rows(
         rows, row0, row1, dirs, scalars,
         n_bins=nb, unroll=unroll, ez_chunk=ez_chunk, interpret=interpret)

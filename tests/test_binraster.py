@@ -31,10 +31,11 @@ def _frame(W, H, campos, fwd, n_tris, seed, **kw):
 
 
 @pytest.mark.parametrize("ez_chunk,unroll", [(8, 4), (0, 2), (4, 1)])
-def test_binraster_matches_brute_force(ez_chunk, unroll):
+@pytest.mark.parametrize("prep", ["v0", "fast"])
+def test_binraster_matches_brute_force(ez_chunk, unroll, prep):
     tri, t, u, v, ref = _frame(
         64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
-        ez_chunk=ez_chunk, unroll=unroll)
+        ez_chunk=ez_chunk, unroll=unroll, prep=prep)
     np.testing.assert_array_equal(tri, ref.tri)
     hit = ref.tri >= 0
     assert hit.sum() > 100
@@ -45,11 +46,13 @@ def test_binraster_matches_brute_force(ez_chunk, unroll):
     np.testing.assert_allclose(v[hit], ref.v[hit], rtol=1e-3, atol=2e-4)
 
 
-def test_binraster_camera_inside_soup():
+@pytest.mark.parametrize("prep", ["v0", "fast"])
+def test_binraster_camera_inside_soup(prep):
     # Near-plane crossers + behind-camera culls: the conservative
-    # full-screen fallback and the cull test are both exercised here.
+    # full-screen fallback (v0) / global tier (fast) and the cull test
+    # are both exercised here.
     tri, t, u, v, ref = _frame(
-        64, 64, (0.0, 0.0, 0.2), (0.0, 0.0, -1.0), 800, 3)
+        64, 64, (0.0, 0.0, 0.2), (0.0, 0.0, -1.0), 800, 3, prep=prep)
     np.testing.assert_array_equal(tri, ref.tri)
 
 
@@ -57,3 +60,28 @@ def test_binraster_nonsquare_offaxis():
     tri, t, u, v, ref = _frame(
         128, 64, (1.0, 1.0, 1.0), (-1.0, -1.0, -1.0), 1000, 5)
     np.testing.assert_array_equal(tri, ref.tri)
+
+
+def test_binraster_fast_tiny_kslots_forces_global_tier():
+    # k_slots=1 pushes every multi-bin triangle into the global z-sorted
+    # prefix; the image must still be brute-force exact.
+    tri, t, u, v, ref = _frame(
+        64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 500, 11,
+        prep="fast", k_slots=1)
+    np.testing.assert_array_equal(tri, ref.tri)
+
+
+def test_binraster_fast_no_payload_matches():
+    tri, t, u, v, ref = _frame(
+        64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 400, 13,
+        prep="fast", payload=False)
+    np.testing.assert_array_equal(tri, ref.tri)
+
+
+def test_binraster_fast_overflow_poisons():
+    # Forcing undersized static buckets must poison hits (-2), never
+    # silently drop triangles (binraster_prep_fast's ok contract).
+    tri, *_ = _frame(
+        64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
+        prep="fast", p_max=96)
+    assert (np.asarray(tri) == -2).all()
