@@ -94,10 +94,17 @@ def main():
     print(f"[bench] engine={r.engine} ({time.time()-t0:.1f}s)",
           file=sys.stderr)
     cam = default_camera("conference")
+    ca = raygen.camera_arrays(cam, width, height)
     order_px, _ = pixel_table(width, height)
-    batch = raygen.primary(raygen.camera_arrays(cam, width, height),
-                           width, height, jnp.asarray(order_px))
+    batch = raygen.primary(ca, width, height, jnp.asarray(order_px))
     R = batch.num_rays
+    # Arm the bin-raster screen-space primary engine when the resolved
+    # config selects it (explicit engine=binraster or tuned.json
+    # primary_engine); its per-frame prep is tied into the chain via
+    # tmin so the marginal includes it honestly.
+    use_br = r.prepare_primary(ca, width, height)
+    print(f"[bench] primary_engine="
+          f"{'binraster' if use_br else r.engine}", file=sys.stderr)
 
     def chained(k):
         @jax.jit
@@ -108,7 +115,7 @@ def main():
                 # The renderer's primary path (depth-prepass tmax seeding
                 # with exact fixup on packet engines) -- the headline
                 # measures what render() actually runs.
-                tri, t, u, v = r.trace_primary(o, d, tn2, tx)
+                tri, t, u, v = r.trace_primary(o, d, tn2, tx, cam=ca)
                 acc = acc + jnp.where(tri >= 0, t, 0.0).sum()
                 tn2 = tn + 1e-12 * acc   # serialize the frames
             return acc, tri
@@ -165,7 +172,9 @@ def main():
         "golden_match": golden_match,
         "golden_mismatches": mismatches,
         "golden_sampled": int(len(sub)),
-        "engine": r.engine,          # tuned.json-resolved kernel, if any
+        # tuned.json-resolved kernel, if any; binraster+X = screen-space
+        # primary engine over X for everything else
+        "engine": (f"binraster+{r.engine}" if use_br else r.engine),
         "packet_rows": r.tuned_rows or cfg.packet_rows,
         **{k: v for k, v in r.tuned_kw.items() if v},  # kernel knobs
     }))

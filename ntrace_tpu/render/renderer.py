@@ -328,6 +328,18 @@ class Renderer:
                 self.flat = (flat if flat is not None
                              else build_accel(scene, build_cfg))
         engine = cfg.engine
+        # Screen-space bin-raster primary engine (trace/binraster.py):
+        # traversal-free, exact, and past the packet family's scalar-chain
+        # plateau on coherent camera rays. Orthogonal to the main engine
+        # (which still serves every secondary/any-hit pass): explicit via
+        # engine="binraster", or device-measured via tuned.json's
+        # primary_engine on TPU auto. prepare_primary() arms it per
+        # camera/resolution; trace_primary() falls back to the BVH path
+        # whenever it is not armed.
+        self.primary_engine = None
+        if engine == "binraster":
+            self.primary_engine = "binraster"
+            engine = "auto"
         from ntrace_tpu.bvh.kdtree import FlatKDTree, kd_to_flatbvh
 
         if engine == "kdtree" and not isinstance(self.flat, FlatKDTree):
@@ -391,6 +403,20 @@ class Renderer:
                 f"unknown engine {engine!r}; known: {known_engines}"
             )
         self.engine = engine
+        if (self.primary_engine is None
+                and cfg.engine in ("auto", "wavefront")
+                and jax.default_backend() in ("tpu", "axon")
+                and _load_tuned().get("primary_engine") == "binraster"):
+            self.primary_engine = "binraster"
+        if self.primary_engine == "binraster":
+            cap = int(os.environ.get("NTRACE_BINRASTER_MAX_TRIS",
+                                     3_000_000))
+            if scene.num_tris > cap:
+                self.primary_engine = None   # sort/table sizes blow up
+            else:
+                self._br_verts = jax.device_put(
+                    jnp.asarray(scene.tri_verts(), dtype=jnp.float32))
+                self._br = None              # armed by prepare_primary()
         if engine == "stack":
             self.flat_dev = (
                 jax.device_put(jnp.asarray(self.flat.nodes)),
@@ -737,10 +763,68 @@ class Renderer:
 
         return _tracer
 
-    def trace_primary(self, orig, dirn, tmin, tmax):
+    def prepare_primary(self, cam: dict, width: int, height: int) -> bool:
+        """Arm the bin-raster primary engine for (cam, W, H): pick the
+        static pair buckets with one eager device count. Must run OUTSIDE
+        jit (bench.py / render() call it before tracing); returns True
+        when armed. No-op unless primary_engine == "binraster"."""
+        if self.primary_engine != "binraster":
+            return False
+        if width % 32 or height % 32:
+            self._br = None      # kernel tiles are (8,128): 32x32 bins
+            return False
+        from ntrace_tpu.trace import binraster as _br
+
+        tuned = _load_tuned()
+        k_slots = int(tuned.get("br_k", 8))
+        dense, n_over = (int(x) for x in _br.count_pairs_fast(
+            self._br_verts, cam, width=width, height=height, tile=32,
+            k_slots=k_slots))
+        txn, tyn = width // 32, height // 32
+        self._br = {
+            "width": width, "height": height, "nb": txn * tyn,
+            "k_slots": k_slots,
+            "p_max": _br.pick_pmax(dense),
+            "g_max": _br.pick_gmax(n_over),
+            "unroll": int(tuned.get("br_unroll", 4)),
+            "ez_chunk": int(tuned.get("br_ez", 8)),
+            "mcodes": jnp.asarray(_br._bin_mcodes(txn, tyn)),
+        }
+        return True
+
+    def _trace_binraster(self, dirn, tmin, tmax, cam):
+        from ntrace_tpu.trace import binraster as _br
+
+        c = self._br
+        # 1e-30 * tmin[0] is numerically identity on scene-scale verts but
+        # ties the prep into the frame's data chain, so chained-frame
+        # benchmarks cannot hoist the (camera-dependent) prep out of the
+        # per-frame marginal.
+        veff = self._br_verts + 1e-30 * tmin[0]
+        rows, r0, r1, g1, ok = _br.binraster_prep_fast(
+            veff, cam, c["mcodes"], width=c["width"], height=c["height"],
+            tile=32, k_slots=c["k_slots"], g_max=c["g_max"],
+            p_max=c["p_max"])
+        dirs = jnp.transpose(dirn).reshape(3 * c["nb"] * 8, 128)
+        scalars = jnp.concatenate([
+            cam["pos"].astype(jnp.float32),
+            jnp.stack([tmin[0], tmax[0], jnp.float32(0),
+                       jnp.float32(0), jnp.float32(0)])])
+        tri, t, u, v = _br.trace_binraster_rows(
+            rows, r0, r1, dirs, scalars, g1, n_bins=c["nb"],
+            unroll=c["unroll"], ez_chunk=c["ez_chunk"],
+            interpret=jax.default_backend() == "cpu")
+        return jnp.where(ok, tri, -2), t, u, v
+
+    def trace_primary(self, orig, dirn, tmin, tmax, cam=None):
         """Primary-ray closest-hit trace with the configured seeding policy
         (shared by render() and bench.py so the headline measures the same
-        path users get)."""
+        path users get). cam: optional camera_arrays dict -- required for
+        the bin-raster screen-space engine (prepare_primary arms it)."""
+        if (cam is not None and self.primary_engine == "binraster"
+                and getattr(self, "_br", None) is not None
+                and dirn.shape[0] == self._br["nb"] * 1024):
+            return self._trace_binraster(dirn, tmin, tmax, cam)
         sp = self.cfg.seed_primary
         use_seed = sp == "on" or (sp == "auto"
                                   and self.engine.startswith("packet"))
@@ -779,9 +863,10 @@ class Renderer:
         with timer.stage("raygen"):
             batch = raygen.primary(cam, W, H, jnp.asarray(order))
             jax.block_until_ready(batch.dirn)
+        self.prepare_primary(cam, W, H)
         with timer.stage("trace_primary"):
             tri, t, u, v = self.trace_primary(
-                batch.orig, batch.dirn, batch.tmin, batch.tmax)
+                batch.orig, batch.dirn, batch.tmin, batch.tmax, cam=cam)
             jax.block_until_ready(t)
         timer.count("rays_primary", batch.num_rays)
 

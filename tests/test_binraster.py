@@ -85,3 +85,21 @@ def test_binraster_fast_overflow_poisons():
         64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
         prep="fast", p_max=96)
     assert (np.asarray(tri) == -2).all()
+
+
+def test_renderer_binraster_engine_matches_stack2():
+    # engine="binraster" plugs the screen-space primary engine into the
+    # renderer (secondary passes keep the BVH tracer); the rendered frame
+    # must be pixel-identical to the reference stack2 path.
+    from ntrace_tpu.core import BuildConfig, RenderConfig
+    from ntrace_tpu.render.renderer import render_frame
+    from ntrace_tpu.scenes import default_camera, get_scene
+
+    scene = get_scene("conference", n_tris=2000)
+    cam = default_camera("conference")
+    bc = BuildConfig(builder="binned_sah")
+    a = render_frame(scene, cam, build_cfg=bc, cfg=RenderConfig(
+        width=64, height=64, mode="primary", engine="binraster")).image
+    b = render_frame(scene, cam, build_cfg=bc, cfg=RenderConfig(
+        width=64, height=64, mode="primary", engine="stack2")).image
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
