@@ -305,3 +305,37 @@ def render_step_sharded(mesh: Mesh, nodes, woop, tri_index, geom_normals,
     return jax.jit(fn)(nodes, woop, tri_index, geom_normals,
                        orig, dirn, tmin, tmax, light_pos,
                        jnp.float32(eps))
+
+
+def trace_sharded_binraster(mesh: Mesh, rows, row0, row1, dirs3, scalars,
+                            g_r1, *, n_bins: int, unroll: int = 4,
+                            ez_chunk: int = 8, interpret: bool = False):
+    """The screen-space bin-raster primary engine under shard_map.
+
+    Row tables (the prepped scene) are replicated; SCREEN BINS -- each a
+    contiguous 1024-ray Morton slot block -- are sharded over the mesh's
+    `rays` axis, so each chip walks its own bins and outputs its slice of
+    the frame with no collective at all (primary-ray DP is embarrassingly
+    parallel over pixels). dirs3: (3, n_bins*8, 128) component-stacked ray
+    dirs (trace/binraster.py layout, split so the bin axis is shardable).
+    """
+    from ntrace_tpu.trace.binraster import trace_binraster_rows
+
+    nd = mesh.devices.size
+    assert n_bins % nd == 0, "bins must divide the mesh"
+    lb = n_bins // nd
+
+    def body(rw, r0, r1, d3, sc, g1):
+        d = d3.reshape(3 * lb * 8, 128)
+        return trace_binraster_rows(
+            rw, r0, r1, d, sc, g1, n_bins=lb, unroll=unroll,
+            ez_chunk=ez_chunk, interpret=interpret)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("rays"), P("rays"), P(None, "rays", None),
+                  P(), P()),
+        out_specs=(P("rays"),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(fn)(rows, row0, row1, dirs3, scalars, g_r1)

@@ -777,15 +777,17 @@ class Renderer:
 
         tuned = _load_tuned()
         k_slots = int(tuned.get("br_k", 8))
-        dense, n_over = (int(x) for x in _br.count_pairs_fast(
+        k2_slots = int(tuned.get("br_k2", 64))
+        total, n_mid, n_g = (int(x) for x in _br.count_pairs_fast(
             self._br_verts, cam, width=width, height=height, tile=32,
-            k_slots=k_slots))
+            k_slots=k_slots, k2_slots=k2_slots))
         txn, tyn = width // 32, height // 32
         self._br = {
             "width": width, "height": height, "nb": txn * tyn,
-            "k_slots": k_slots,
-            "p_max": _br.pick_pmax(dense),
-            "g_max": _br.pick_gmax(n_over),
+            "k_slots": k_slots, "k2_slots": k2_slots,
+            "p_max": _br.pick_pmax(total),
+            "g_max": _br.pick_gmax(n_mid + n_g),
+            "g2_max": _br.pick_gmax(n_g, floor=192),
             "unroll": int(tuned.get("br_unroll", 4)),
             "ez_chunk": int(tuned.get("br_ez", 8)),
             "mcodes": jnp.asarray(_br._bin_mcodes(txn, tyn)),
@@ -804,7 +806,8 @@ class Renderer:
         rows, r0, r1, g1, ok = _br.binraster_prep_fast(
             veff, cam, c["mcodes"], width=c["width"], height=c["height"],
             tile=32, k_slots=c["k_slots"], g_max=c["g_max"],
-            p_max=c["p_max"])
+            p_max=c["p_max"], k2_slots=c["k2_slots"],
+            g2_max=c["g2_max"])
         dirs = jnp.transpose(dirn).reshape(3 * c["nb"] * 8, 128)
         scalars = jnp.concatenate([
             cam["pos"].astype(jnp.float32),

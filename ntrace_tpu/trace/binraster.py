@@ -14,9 +14,10 @@ How it works (all stages on device, jit):
   1. Project the scene's triangle vertices into continuous pixel coords
      with the same camera model as ray/raygen.py primary().
   2. Conservative screen-space bins: each triangle's pixel bbox selects
-     a range of TILE x TILE pixel bins (triangles crossing the near
-     plane fall back to all bins; triangles fully behind the camera or
-     off-screen are culled -- both exact, see _project_bbox).
+     a range of TILE x TILE pixel bins (triangles crossing the
+     minimum-hit plane are exactly clipped and bboxed; triangles fully
+     behind/nearer than any possible hit or off-screen are culled --
+     both exact, see _counts).
   3. Stream-expand (bin, tri) pairs and sort them by (bin, zmin) with a
      single fused int32 key; gather triangle data into 128-lane rows of
      12 tris (bvh/packed.py lane layout, lane 120 = row zmin).
@@ -100,35 +101,65 @@ def _project(verts, cam):
 
 def _counts(verts, cam, *, width, height, tile):
     """Per-tri bin-rectangle + pair count (stage shared by the cheap
-    count-only pass and the full prep)."""
+    count-only pass and the full prep).
+
+    Near-plane handling is an exact CLIP, not a full-screen fallback: no
+    primary hit can be nearer than t = tmin = znear along a frustum dir,
+    so z_hit >= znear / sqrt(1 + tan_x^2 + tan_y^2) in camera space.
+    Every triangle is clipped at 99% of that plane and the clipped
+    polygon's projected bbox is used -- crossers get their real (usually
+    small) screen rect, and unhittably-near geometry culls itself. The
+    1% z margin plus the enlarged 2-pixel pad on crossers absorb the f32
+    rounding of the edge-intersection arithmetic (on-screen coordinates
+    carry ~1e-6 relative error; points whose error could reach pixels
+    are >1e6 px off-screen and clamp to the boundary bin regardless).
+    Assumes the kernel rejects t <= znear (raygen.primary's tmin).
+    """
     txn, tyn = width // tile, height // tile
     xc, yc, zc = _project(verts, cam)
-    zeps = jnp.float32(1e-7)
-    behind = zc <= zeps
-    n_behind = jnp.sum(behind, axis=1)
-    w = jnp.maximum(zc, zeps)
-    px = (xc / w / cam["tan_x"] + 1.0) * jnp.float32(0.5 * width)
-    py = (1.0 - yc / w / cam["tan_y"]) * jnp.float32(0.5 * height)
-    pad = jnp.float32(1e-2)                      # pixel-space f32 slack
-    minx, maxx = jnp.min(px, 1) - pad, jnp.max(px, 1) + pad
-    miny, maxy = jnp.min(py, 1) - pad, jnp.max(py, 1) + pad
+    tanx, tany = cam["tan_x"], cam["tan_y"]
+    zclip = jnp.maximum(
+        cam["znear"] * jax.lax.rsqrt(1.0 + tanx * tanx + tany * tany)
+        * jnp.float32(0.99), jnp.float32(1e-30))
+    vin = zc >= zclip                             # (n, 3)
+    wsafe = jnp.where(vin, zc, jnp.float32(1.0))
+    pxv = (xc / wsafe / tanx + 1.0) * jnp.float32(0.5 * width)
+    pyv = (1.0 - yc / wsafe / tany) * jnp.float32(0.5 * height)
+    BIG = jnp.float32(3e38)
+    minx = jnp.min(jnp.where(vin, pxv, BIG), axis=1)
+    maxx = jnp.max(jnp.where(vin, pxv, -BIG), axis=1)
+    miny = jnp.min(jnp.where(vin, pyv, BIG), axis=1)
+    maxy = jnp.max(jnp.where(vin, pyv, -BIG), axis=1)
+    anyc = jnp.zeros(vin.shape[:1], bool)
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        cross = vin[:, i] != vin[:, j]
+        zi, zj = zc[:, i], zc[:, j]
+        s = (zclip - zi) / jnp.where(cross, zj - zi, jnp.float32(1.0))
+        xi = xc[:, i] + s * (xc[:, j] - xc[:, i])
+        yi = yc[:, i] + s * (yc[:, j] - yc[:, i])
+        pxe = (xi / zclip / tanx + 1.0) * jnp.float32(0.5 * width)
+        pye = (1.0 - yi / zclip / tany) * jnp.float32(0.5 * height)
+        minx = jnp.minimum(minx, jnp.where(cross, pxe, BIG))
+        maxx = jnp.maximum(maxx, jnp.where(cross, pxe, -BIG))
+        miny = jnp.minimum(miny, jnp.where(cross, pye, BIG))
+        maxy = jnp.maximum(maxy, jnp.where(cross, pye, -BIG))
+        anyc = anyc | cross
+    pad = jnp.where(anyc, jnp.float32(2.0), jnp.float32(1e-2))
+    minx, maxx = minx - pad, maxx + pad
+    miny, maxy = miny - pad, maxy + pad
     # Pixel-center sample points live at (x+0.5, y+0.5) in (0, W)x(0, H).
+    contrib = jnp.any(vin, axis=1)
     offscreen = (maxx < 0) | (minx > width) | (maxy < 0) | (miny > height)
-    cull = (n_behind == 3) | (offscreen & (n_behind == 0))
-    mixed = (n_behind > 0) & (n_behind < 3)
+    cull = (~contrib) | offscreen
     ts = jnp.float32(tile)
     tx0 = jnp.clip(jnp.floor(minx / ts).astype(jnp.int32), 0, txn - 1)
     tx1 = jnp.clip(jnp.floor(maxx / ts).astype(jnp.int32), 0, txn - 1)
     ty0 = jnp.clip(jnp.floor(miny / ts).astype(jnp.int32), 0, tyn - 1)
     ty1 = jnp.clip(jnp.floor(maxy / ts).astype(jnp.int32), 0, tyn - 1)
-    # Near-plane crossers: conservative full-screen rectangle (rare --
-    # only triangles inside the camera's near-plane band).
-    tx0 = jnp.where(mixed, 0, tx0)
-    ty0 = jnp.where(mixed, 0, ty0)
-    tx1 = jnp.where(mixed, txn - 1, tx1)
-    ty1 = jnp.where(mixed, tyn - 1, ty1)
     cnt = jnp.where(cull, 0, (tx1 - tx0 + 1) * (ty1 - ty0 + 1))
-    zmin = jnp.min(jnp.maximum(zc, jnp.float32(0.0)), axis=1)
+    zmin_v = jnp.min(jnp.where(vin, zc, BIG), axis=1)
+    zmin = jnp.where(anyc, jnp.minimum(zmin_v, zclip), zmin_v)
+    zmin = jnp.where(cull, jnp.float32(0.0), zmin)
     return tx0, tx1, ty0, ty1, cnt.astype(jnp.int32), zmin
 
 
@@ -240,31 +271,50 @@ def _bin_mcodes(txn: int, tyn: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile", "k_slots"))
-def count_pairs_fast(verts, cam, *, width, height, tile, k_slots):
-    """(dense-tier pair count, overflow-tri count) -- host pulls these to
-    pick the static p_max / g_max buckets."""
+    jax.jit,
+    static_argnames=("width", "height", "tile", "k_slots", "k2_slots"))
+def count_pairs_fast(verts, cam, *, width, height, tile, k_slots,
+                     k2_slots=64):
+    """(sorted-tier pair count incl. the k2 mid tier, mid-tier tri count,
+    walked-global tri count) -- host pulls these to pick the static
+    p_max / g_max / g2_max buckets."""
     *_, cnt, _ = _counts(verts, cam, width=width, height=height, tile=tile)
     over = cnt > k_slots
-    return (jnp.sum(jnp.where(over, 0, cnt)),
-            jnp.sum(over.astype(jnp.int32)))
+    over2 = cnt > k2_slots
+    return (jnp.sum(jnp.where(over2, 0, cnt)),
+            jnp.sum((over & ~over2).astype(jnp.int32)),
+            jnp.sum(over2.astype(jnp.int32)))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile", "k_slots", "g_max",
-                     "p_max", "payload"))
+                     "p_max", "payload", "k2_slots", "g2_max"))
 def binraster_prep_fast(verts, cam, mcodes, *, width, height, tile,
-                        k_slots, g_max, p_max, payload=True):
-    """Gather-free bin-raster prep.
+                        k_slots, g_max, p_max, payload=True,
+                        k2_slots=64, g2_max=192):
+    """Gather-free bin-raster prep (two fixed-slot tiers + tiny global).
+
+    Tier 1: every tri covering <= k_slots bins owns k_slots static pair
+    slots (dense math over the tri axis). Tier 2: tris covering
+    (k_slots, k2_slots] bins are compacted to <= g_max slots by a small
+    z-sort, then expanded with k2_slots static slots each -- so big
+    occluders still land in exactly their covered bins, preserving the
+    per-bin z-order that drives the kernel's early-z. Both tiers merge
+    into ONE (bin, z)-keyed sort whose 10 payload operands carry the row
+    lanes (no p_max-sized gathers anywhere). Only tris covering more
+    than k2_slots bins (near-plane crossers, ~degenerate-huge tris) fall
+    into the z-sorted walked-global prefix of <= g2_max tris every bin
+    tests first.
 
     Returns (rows, row0, row1, g_r1 (1,) i32, ok bool scalar). `rows`
-    holds g_max//TPB global-tier rows first, then p_max//TPB dense-tier
-    rows; row0/row1 are absolute row ranges per bin. `ok` is False when a
-    static bucket overflowed (dense pairs > p_max or overflow tris >
-    g_max) -- results are then incomplete and the caller must rebuild
-    with bigger buckets (trace_binraster_primary poisons hits with -2 so
-    an unchecked overflow fails golden gates loudly instead of silently).
+    holds g2_max//TPB global rows first, then p_max//TPB sorted-tier
+    rows; row0/row1 are absolute row ranges per bin. `ok` is False when
+    a static bucket overflowed (sorted pairs > p_max, overflow tris >
+    g_max, or walked-global tris > g2_max) -- results are then
+    incomplete and the caller must rebuild with bigger buckets
+    (trace_binraster_primary poisons hits with -2 so an unchecked
+    overflow fails golden gates loudly instead of silently).
     """
     from ntrace_tpu.ops.morton import _part1by1
 
@@ -273,22 +323,51 @@ def binraster_prep_fast(verts, cam, mcodes, *, width, height, tile,
         verts, cam, width=width, height=height, tile=tile)
     wbin = tx1 - tx0 + 1
     over = cnt > k_slots
+    over2 = cnt > k2_slots
     n_over = jnp.sum(over.astype(jnp.int32))
+    n_over2 = jnp.sum(over2.astype(jnp.int32))
     zsafe = jnp.maximum(zmin * (1.0 - Z_MARGIN), 0.0)
     zbits = (jax.lax.bitcast_convert_type(zsafe, jnp.int32) >> 11) & 0x1FFFFF
     SENT = jnp.int32(0x7FFFFFFF)
 
-    # Dense tier: slot k of tri i = cell k of i's bin rect (row-major).
-    cols = []
-    for k in range(k_slots):
+    def slot_key(k, t0x, t0y, w, zb, valid):
         kk = jnp.int32(k)
-        bx = tx0 + kk % wbin
-        by = ty0 + kk // wbin
+        bx = t0x + kk % w
+        by = t0y + kk // w
         mc = ((_part1by1(jnp, by) << jnp.uint32(1))
               | _part1by1(jnp, bx)).astype(jnp.int32)
-        valid = (~over) & (kk < cnt)
-        cols.append(jnp.where(valid, (mc << 21) | zbits, SENT))
+        return jnp.where(valid, (mc << 21) | zb, SENT)
+
+    # Tier 1: slot k of tri i = cell k of i's bin rect (row-major).
+    cols = [slot_key(k, tx0, ty0, wbin, zbits,
+                     (~over) & (jnp.int32(k) < cnt))
+            for k in range(k_slots)]
     keys = jnp.stack(cols).reshape(-1)              # (k_slots * n,)
+
+    # Overflow compaction: ALL cnt > k_slots tris, z-ascending, first
+    # g_max slots (mid tier + walked-global both come from this list).
+    okey = jnp.where(over, zbits, SENT)
+    oidx = jnp.arange(n, dtype=jnp.int32)
+    if n < g_max:
+        okey = jnp.concatenate([okey, jnp.full((g_max - n,), SENT)])
+        oidx = jnp.concatenate([oidx, jnp.zeros((g_max - n,), jnp.int32)])
+    sok, sidx = jax.lax.sort((okey, oidx), num_keys=1)
+    gk, gi = sok[:g_max], sidx[:g_max]
+    gvalid = gk != SENT
+    # Small gathers (g_max-sized) of the compacted tris' rects + verts.
+    t0xg, t0yg = tx0[gi], ty0[gi]
+    wbing, cntg = wbin[gi], cnt[gi]
+    zbg = gk & 0x1FFFFF
+    midv = gvalid & (cntg <= k2_slots)
+    gv = verts[gi]
+    gv0 = gv[:, 0]
+
+    # Tier 2 keys: k2_slots static slots per compacted tri.
+    cols2 = [slot_key(k, t0xg, t0yg, wbing, zbg,
+                      midv & (jnp.int32(k) < cntg))
+             for k in range(k2_slots)]
+    keys2 = jnp.stack(cols2).reshape(-1)            # (k2_slots * g_max,)
+    keys = jnp.concatenate([keys, keys2])
 
     def padto(a, fill):                             # tiny scene: pad up
         if a.shape[0] >= p_max:
@@ -298,14 +377,20 @@ def binraster_prep_fast(verts, cam, mcodes, *, width, height, tile,
 
     keys = padto(keys, SENT)
     v0 = verts[:, 0]
-    tid = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+
+    def tiers(col_all, col_g):                      # tier-matched payload
+        return jnp.concatenate(
+            [jnp.tile(col_all, k_slots), jnp.tile(col_g, k2_slots)])
+
     if payload:
-        pay = [v0[:, 0], v0[:, 1], v0[:, 2]]
-        pay += [verts[:, 1, c] - v0[:, c] for c in range(3)]
-        pay += [verts[:, 2, c] - v0[:, c] for c in range(3)]
-        pay.append(tid)
-        ops = (keys,) + tuple(
-            padto(jnp.tile(p, k_slots), 0) for p in pay)
+        pay = [(v0[:, c], gv0[:, c]) for c in range(3)]
+        pay += [(verts[:, 1, c] - v0[:, c], gv[:, 1, c] - gv0[:, c])
+                for c in range(3)]
+        pay += [(verts[:, 2, c] - v0[:, c], gv[:, 2, c] - gv0[:, c])
+                for c in range(3)]
+        tid = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+        pay.append((tid, gi.astype(jnp.float32)))
+        ops = (keys,) + tuple(padto(tiers(a, g), 0) for a, g in pay)
         srt = jax.lax.sort(ops, num_keys=1)
         skey = srt[0][:p_max]
         spay = [s[:p_max] for s in srt[1:]]
@@ -313,7 +398,7 @@ def binraster_prep_fast(verts, cam, mcodes, *, width, height, tile,
         spay[9] = jnp.where(svalid, spay[9], jnp.float32(-1.0))
         lanes = jnp.stack(spay, axis=1)             # (p_max, 10)
     else:
-        idx = padto(jnp.tile(jnp.arange(n, dtype=jnp.int32), k_slots), 0)
+        idx = padto(tiers(jnp.arange(n, dtype=jnp.int32), gi), 0)
         skey, stri = jax.lax.sort((keys, idx), num_keys=1)
         skey, stri = skey[:p_max], stri[:p_max]
         svalid = skey != SENT
@@ -335,32 +420,31 @@ def binraster_prep_fast(verts, cam, mcodes, *, width, height, tile,
     row0 = pair0 // TPB
     row1 = jnp.minimum((pair1 + TPB - 1) // TPB, nr)
 
-    # Global tier: overflow tris, z-ascending, tested by every bin.
-    okey = jnp.where(over, zbits, SENT)
-    oidx = jnp.arange(n, dtype=jnp.int32)
-    if n < g_max:
-        okey = jnp.concatenate([okey, jnp.full((g_max - n,), SENT)])
-        oidx = jnp.concatenate([oidx, jnp.zeros((g_max - n,), jnp.int32)])
-    sok, sidx = jax.lax.sort((okey, oidx), num_keys=1)
-    gk, gi = sok[:g_max], sidx[:g_max]
-    gvalid = gk != SENT
-    gv = verts[gi]
-    gv0 = gv[:, 0]
+    # Walked-global tier: cnt > k2_slots tris only, z-ascending.
+    okey2 = jnp.where(gvalid & ~midv, gk, SENT)
+    sok2, gslot = jax.lax.sort(
+        (okey2, jnp.arange(g_max, dtype=jnp.int32)), num_keys=1)
+    g2k = sok2[:g2_max]
+    g2valid = g2k != SENT
+    g2i = gi[gslot[:g2_max]]
+    g2v = verts[g2i]
+    g2v0 = g2v[:, 0]
     glanes = jnp.concatenate([
-        gv0, gv[:, 1] - gv0, gv[:, 2] - gv0,
-        jnp.where(gvalid, gi, -1).astype(jnp.float32)[:, None],
+        g2v0, g2v[:, 1] - g2v0, g2v[:, 2] - g2v0,
+        jnp.where(g2valid, g2i, -1).astype(jnp.float32)[:, None],
     ], axis=1)
-    gnr = g_max // TPB
+    gnr = g2_max // TPB
     grows = jnp.zeros((gnr, 128), jnp.float32).at[:, : TPB * TRI_LANES].set(
         glanes.reshape(gnr, TPB * TRI_LANES))
-    gzdec = jax.lax.bitcast_convert_type((gk & 0x1FFFFF) << 11, jnp.float32)
-    gzdec = jnp.where(gvalid, gzdec, INF)
+    gzdec = jax.lax.bitcast_convert_type((g2k & 0x1FFFFF) << 11, jnp.float32)
+    gzdec = jnp.where(g2valid, gzdec, INF)
     grows = grows.at[:, ZLANE].set(jnp.min(gzdec.reshape(gnr, TPB), axis=1))
-    g_r1 = (jnp.minimum(n_over, g_max) + TPB - 1) // TPB
+    g_r1 = (jnp.minimum(n_over2, g2_max) + TPB - 1) // TPB
 
     rows = jnp.concatenate([grows, rows_b], axis=0)
-    dense_total = jnp.sum(jnp.where(over, 0, cnt))
-    ok = (dense_total <= p_max) & (n_over <= g_max)
+    sorted_total = jnp.sum(jnp.where(over2, 0, cnt))
+    ok = ((sorted_total <= p_max) & (n_over <= g_max)
+          & (n_over2 <= g2_max))
     return (rows, row0 + gnr, row1 + gnr,
             g_r1.reshape(1).astype(jnp.int32), ok)
 
@@ -557,9 +641,9 @@ def trace_binraster_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
 # Public entry: full primary-frame trace
 
 
-def pick_gmax(n_over: int) -> int:
-    """Static global-tier bucket (multiple of TPB rows-of-12)."""
-    cap = 1536
+def pick_gmax(n_over: int, floor: int = 1536) -> int:
+    """Static overflow bucket (multiple of TPB rows-of-12)."""
+    cap = floor
     while cap < n_over * 1.3 + 24:
         cap = cap * 3 // 2
         cap -= cap % 12
@@ -569,7 +653,8 @@ def pick_gmax(n_over: int) -> int:
 def trace_binraster_primary(verts_dev, cam, dirn, *, width, height,
                             tile=32, unroll=4, ez_chunk=8,
                             interpret=False, p_max=None, prep="fast",
-                            k_slots=8, g_max=None, payload=True):
+                            k_slots=8, g_max=None, payload=True,
+                            k2_slots=64):
     """Primary-ray closest-hit over the full camera grid.
 
     verts_dev: (n,3,3) f32 device triangle vertices. cam: raygen
@@ -596,18 +681,19 @@ def trace_binraster_primary(verts_dev, cam, dirn, *, width, height,
                    jnp.float32(0), jnp.float32(0), jnp.float32(0)]),
     ])
     if prep == "fast":
-        dense, n_over = count_pairs_fast(
+        total, n_mid, n_g = (int(x) for x in count_pairs_fast(
             verts_dev, cam, width=width, height=height, tile=tile,
-            k_slots=k_slots)
+            k_slots=k_slots, k2_slots=k2_slots))
         if p_max is None:
-            p_max = pick_pmax(int(dense))
+            p_max = pick_pmax(total)
         if g_max is None:
-            g_max = pick_gmax(int(n_over))
+            g_max = pick_gmax(n_mid + n_g)
+        g2_max = pick_gmax(n_g, floor=192)
         mcodes = jnp.asarray(_bin_mcodes(txn, tyn))
         rows, row0, row1, g_r1, ok = binraster_prep_fast(
             verts_dev, cam, mcodes, width=width, height=height,
             tile=tile, k_slots=k_slots, g_max=g_max, p_max=p_max,
-            payload=payload)
+            payload=payload, k2_slots=k2_slots, g2_max=g2_max)
         tri, t, u, v = trace_binraster_rows(
             rows, row0, row1, dirs, scalars, g_r1,
             n_bins=nb, unroll=unroll, ez_chunk=ez_chunk,

@@ -76,19 +76,21 @@ def main():
         jnp.stack([ca["znear"], ca["zfar"],
                    jnp.float32(0), jnp.float32(0), jnp.float32(0)])])
 
-    for k_slots in (4, 8, 16):
-        dense, n_over = (int(x) for x in br.count_pairs_fast(
+    for k_slots in (4, 8):
+        total, n_mid, n_g = (int(x) for x in br.count_pairs_fast(
             verts, ca, width=W, height=H, tile=TILE, k_slots=k_slots))
-        p_max = br.pick_pmax(dense)
-        g_max = br.pick_gmax(n_over)
-        record(stage="counts", k_slots=k_slots, dense=dense,
-               n_over=n_over, p_max=p_max, g_max=g_max)
+        p_max = br.pick_pmax(total)
+        g_max = br.pick_gmax(n_mid + n_g)
+        g2_max = br.pick_gmax(n_g, floor=192)
+        record(stage="counts", k_slots=k_slots, total=total,
+               n_mid=n_mid, n_g=n_g, p_max=p_max, g_max=g_max,
+               g2_max=g2_max)
 
         for payload in (True, False):
             tag = f"k{k_slots}_{'pay' if payload else 'idx'}"
 
             def prep_run(k, k_slots=k_slots, p_max=p_max, g_max=g_max,
-                         payload=payload):
+                         g2_max=g2_max, payload=payload):
                 @jax.jit
                 def fn(v):
                     acc = jnp.float32(0)
@@ -97,7 +99,7 @@ def main():
                         rows, r0, r1, g1, ok = br.binraster_prep_fast(
                             vv, ca, mcodes, width=W, height=H, tile=TILE,
                             k_slots=k_slots, g_max=g_max, p_max=p_max,
-                            payload=payload)
+                            g2_max=g2_max, payload=payload)
                         acc = (acc + rows[0, 0] + g1[0]
                                + ok.astype(jnp.float32))
                         vv = v + 1e-30 * acc
@@ -118,7 +120,7 @@ def main():
             tag = f"k{k_slots}_u{unroll}_ez{ez}"
 
             def full_run(k, k_slots=k_slots, p_max=p_max, g_max=g_max,
-                         unroll=unroll, ez=ez):
+                         g2_max=g2_max, unroll=unroll, ez=ez):
                 @jax.jit
                 def fn(v, d):
                     acc = jnp.float32(0)
@@ -126,7 +128,8 @@ def main():
                     for _ in range(k):
                         rows, r0, r1, g1, ok = br.binraster_prep_fast(
                             vv, ca, mcodes, width=W, height=H, tile=TILE,
-                            k_slots=k_slots, g_max=g_max, p_max=p_max)
+                            k_slots=k_slots, g_max=g_max, p_max=p_max,
+                            g2_max=g2_max)
                         tri, t, u, vb = br.trace_binraster_rows(
                             rows, r0, r1, d, scalars, g1, n_bins=nb,
                             unroll=unroll, ez_chunk=ez)

@@ -55,6 +55,31 @@ if best is None:
     print("[pick_tuned] no packet-family results found; leaving tuned.json")
     sys.exit(0)
 
+# Bin-raster screen-space primary engine (results_binraster_fast.json,
+# scripts/binraster_fast_probe.py): if its best full-frame marginal beats
+# the packet winner, record it as the PRIMARY engine -- the packet winner
+# above still serves every secondary/any-hit pass.
+br_src = os.path.join(root, "results_binraster_fast.json")
+try:
+    with open(br_src) as f:
+        br = json.load(f)
+except OSError:
+    br = []
+br_best = None
+for rec in br:
+    if rec.get("stage") != "full" or "mrays" not in rec:
+        continue
+    m = re.match(r"k(\d+)_u(\d+)_ez(\d+)$", rec.get("cfg", ""))
+    if not m:
+        continue
+    cand = dict(primary_engine="binraster", br_k=int(m.group(1)),
+                br_unroll=int(m.group(2)), br_ez=int(m.group(3)),
+                primary_mrays=rec["mrays"], primary_source=rec["cfg"])
+    if br_best is None or cand["primary_mrays"] > br_best["primary_mrays"]:
+        br_best = cand
+if br_best is not None and br_best["primary_mrays"] > best["mrays"]:
+    best.update(br_best)
+
 out = os.path.join(root, "tuned.json")
 with open(out, "w") as f:
     json.dump(best, f, indent=2)

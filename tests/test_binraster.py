@@ -103,3 +103,13 @@ def test_renderer_binraster_engine_matches_stack2():
     b = render_frame(scene, cam, build_cfg=bc, cfg=RenderConfig(
         width=64, height=64, mode="primary", engine="stack2")).image
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_binraster_fast_walked_global_tier():
+    # k_slots=2, k2_slots=4 on a 4x4-bin grid: triangles covering >4 bins
+    # (the soup's larger tris seen up close) overflow BOTH sorted tiers
+    # and land in the walked-global z-prefix; image must stay exact.
+    tri, t, u, v, ref = _frame(
+        128, 128, (0.0, 0.0, 0.6), (0.0, 0.0, -1.0), 400, 17,
+        prep="fast", k_slots=2, k2_slots=4)
+    np.testing.assert_array_equal(tri, ref.tri)

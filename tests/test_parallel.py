@@ -237,3 +237,47 @@ def test_forest_sharded_scene_sharding(soup_small, rng):
         jnp.asarray(tmax2), rows=8, interpret=True, any_hit=True)
     blocked = brute_force_anyhit(soup_small, orig, dirn, tmin, tmax2)
     np.testing.assert_array_equal(np.asarray(tri2) >= 0, blocked)
+
+
+def test_binraster_sharded_matches_single(mesh8):
+    # Screen-bin DP for the bin-raster primary engine: 8 bins over 8
+    # devices must reproduce the single-device frame bit-for-bit.
+    from ntrace_tpu.parallel.mesh import trace_sharded_binraster
+    from ntrace_tpu.ray.pixeltable import pixel_table
+    from ntrace_tpu.ray.raygen import camera_arrays, primary
+    from ntrace_tpu.scenes import make_random_soup
+    from ntrace_tpu.core import Camera
+    from ntrace_tpu.trace import binraster as br
+
+    W = H = 64  # 2x2 bins... need 8 bins -> 128x64 = 4x2
+    W = 128
+    scene = make_random_soup(n_tris=400, seed=23)
+    cam = Camera(position=(0.0, 0.0, 4.0), forward=(0.0, 0.0, -1.0),
+                 up=(0.0, 1.0, 0.0), fov_deg=70.0, znear=1e-3, zfar=1e4)
+    ca = camera_arrays(cam, W, H)
+    order, _ = pixel_table(W, H)
+    rb = primary(ca, W, H, order)
+    verts = jnp.asarray(scene.tri_verts())
+    txn, tyn = W // 32, H // 32
+    nb = txn * tyn
+    total, n_mid, n_g = (int(x) for x in br.count_pairs_fast(
+        verts, ca, width=W, height=H, tile=32, k_slots=4))
+    p_max = br.pick_pmax(total)
+    g_max = br.pick_gmax(n_mid + n_g)
+    mcodes = jnp.asarray(br._bin_mcodes(txn, tyn))
+    rows, r0, r1, g1, ok = br.binraster_prep_fast(
+        verts, ca, mcodes, width=W, height=H, tile=32, k_slots=4,
+        g_max=g_max, p_max=p_max)
+    assert bool(ok)
+    scalars = jnp.concatenate([
+        ca["pos"].astype(jnp.float32),
+        jnp.stack([ca["znear"], ca["zfar"], jnp.float32(0),
+                   jnp.float32(0), jnp.float32(0)])])
+    dirs = jnp.transpose(rb.dirn).reshape(3 * nb * 8, 128)
+    ref = br.trace_binraster_rows(rows, r0, r1, dirs, scalars, g1,
+                                  n_bins=nb, interpret=True)
+    dirs3 = dirs.reshape(3, nb * 8, 128)
+    out = trace_sharded_binraster(mesh8, rows, r0, r1, dirs3, scalars,
+                                  g1, n_bins=nb, interpret=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
