@@ -93,8 +93,12 @@ def woop_intersect(ns, woop12, orig, dirn, tmin, tmax):
         + dirn[..., 1] * woop12[..., 1]
         + dirn[..., 2] * woop12[..., 2]
     )
-    inv_dz = one / dz  # inf on parallel rays; NaN propagates to a miss
-    t = oz * inv_dz
+    # inf on parallel rays; NaN propagates to a miss. Intentional IEEE
+    # semantics -- silence the numpy warnings so benchmark/test provenance
+    # logs stay clean (jnp never warns; errstate is a no-op there).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_dz = one / dz
+        t = oz * inv_dz
 
     ou = woop12[..., 7] + (
         orig[..., 0] * woop12[..., 4]
@@ -106,7 +110,8 @@ def woop_intersect(ns, woop12, orig, dirn, tmin, tmax):
         + dirn[..., 1] * woop12[..., 5]
         + dirn[..., 2] * woop12[..., 6]
     )
-    u = ou + t * du
+    with np.errstate(invalid="ignore"):
+        u = ou + t * du
 
     ov = woop12[..., 11] + (
         orig[..., 0] * woop12[..., 8]
@@ -118,7 +123,8 @@ def woop_intersect(ns, woop12, orig, dirn, tmin, tmax):
         + dirn[..., 1] * woop12[..., 9]
         + dirn[..., 2] * woop12[..., 10]
     )
-    v = ov + t * dv
+    with np.errstate(invalid="ignore"):
+        v = ov + t * dv
 
     valid = (t > tmin) & (t < tmax) & (u >= 0) & (v >= 0) & (u + v <= one)
     return valid, t, u, v

@@ -775,13 +775,21 @@ class Renderer:
             return False
         from ntrace_tpu.trace import binraster as _br
 
+        txn, tyn = width // 32, height // 32
+        try:
+            # Raises when the bin grid's Morton codes exceed the kernel's
+            # 10-bit budget (frames over ~1 Mpx); fall back to the BVH
+            # path instead of crashing an ordinary render_frame.
+            mcodes = _br._bin_mcodes(txn, tyn)
+        except ValueError:
+            self._br = None
+            return False
         tuned = _load_tuned()
         k_slots = int(tuned.get("br_k", 8))
         k2_slots = int(tuned.get("br_k2", 64))
         total, n_mid, n_g = (int(x) for x in _br.count_pairs_fast(
             self._br_verts, cam, width=width, height=height, tile=32,
             k_slots=k_slots, k2_slots=k2_slots))
-        txn, tyn = width // 32, height // 32
         self._br = {
             "width": width, "height": height, "nb": txn * tyn,
             "k_slots": k_slots, "k2_slots": k2_slots,
@@ -790,7 +798,8 @@ class Renderer:
             "g2_max": _br.pick_gmax(n_g, floor=192),
             "unroll": int(tuned.get("br_unroll", 4)),
             "ez_chunk": int(tuned.get("br_ez", 8)),
-            "mcodes": jnp.asarray(_br._bin_mcodes(txn, tyn)),
+            "mcodes": jnp.asarray(mcodes),
+            "cam_pos": np.asarray(cam["pos"], np.float32),
         }
         return True
 
@@ -823,10 +832,17 @@ class Renderer:
         """Primary-ray closest-hit trace with the configured seeding policy
         (shared by render() and bench.py so the headline measures the same
         path users get). cam: optional camera_arrays dict -- required for
-        the bin-raster screen-space engine (prepare_primary arms it)."""
+        the bin-raster screen-space engine (prepare_primary arms it).
+
+        Bin-raster contract: the screen-space engine only serves CANONICAL
+        primary rays -- orig == cam['pos'] for every ray, uniform
+        tmin == znear and uniform tmax (raygen.primary's output). Calls
+        with per-ray tmin/tmax or non-camera origins are routed to the
+        BVH path below, whose semantics are fully general."""
         if (cam is not None and self.primary_engine == "binraster"
                 and getattr(self, "_br", None) is not None
-                and dirn.shape[0] == self._br["nb"] * 1024):
+                and dirn.shape[0] == self._br["nb"] * 1024
+                and self._binraster_contract_ok(orig, tmin, tmax, cam)):
             return self._trace_binraster(dirn, tmin, tmax, cam)
         sp = self.cfg.seed_primary
         use_seed = sp == "on" or (sp == "auto"
@@ -836,6 +852,19 @@ class Renderer:
             return seeded_closest_trace(self._tracer, orig, dirn, tmin, tmax)
         batch = RayBatch(orig, dirn, tmin, tmax)
         return _trace_batched(self._tracer, batch, self._cap(), False)
+
+    def _binraster_contract_ok(self, orig, tmin, tmax, cam):
+        """One cheap device reduce verifying the bin-raster preconditions
+        (uniform tmin == znear, uniform tmax, orig == camera position).
+        Traced inputs (inside someone else's jit) can't be checked --
+        decline binraster there and take the general BVH path."""
+        try:
+            ok = bool(jnp.all(
+                (tmin == cam["znear"]) & (tmax == tmax[0])
+                & (orig == jnp.asarray(self._br["cam_pos"])).all(axis=-1)))
+        except jax.errors.TracerBoolConversionError:
+            return False
+        return ok
 
     def _cap(self):
         """Per-dispatch ray cap: the persistent stack2 tracer chunks

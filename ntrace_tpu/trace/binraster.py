@@ -134,7 +134,15 @@ def _counts(verts, cam, *, width, height, tile):
     for i, j in ((0, 1), (1, 2), (2, 0)):
         cross = vin[:, i] != vin[:, j]
         zi, zj = zc[:, i], zc[:, j]
-        s = (zclip - zi) / jnp.where(cross, zj - zi, jnp.float32(1.0))
+        # s suffers catastrophic cancellation when the edge is nearly
+        # parallel to the clip plane (|zj-zi| ~ f32 ulp of zclip): clamp
+        # it to the segment, and for near-parallel crossers additionally
+        # cover BOTH endpoints projected at the clip plane -- the true
+        # crossing point lies between them, so the bbox stays
+        # conservative regardless of the cancelled quotient.
+        s = jnp.clip(
+            (zclip - zi) / jnp.where(cross, zj - zi, jnp.float32(1.0)),
+            jnp.float32(0.0), jnp.float32(1.0))
         xi = xc[:, i] + s * (xc[:, j] - xc[:, i])
         yi = yc[:, i] + s * (yc[:, j] - yc[:, i])
         pxe = (xi / zclip / tanx + 1.0) * jnp.float32(0.5 * width)
@@ -143,6 +151,14 @@ def _counts(verts, cam, *, width, height, tile):
         maxx = jnp.maximum(maxx, jnp.where(cross, pxe, -BIG))
         miny = jnp.minimum(miny, jnp.where(cross, pye, BIG))
         maxy = jnp.maximum(maxy, jnp.where(cross, pye, -BIG))
+        npar = cross & (jnp.abs(zj - zi) < jnp.float32(1e-4) * zclip)
+        for xe, ye in ((xc[:, i], yc[:, i]), (xc[:, j], yc[:, j])):
+            pxn = (xe / zclip / tanx + 1.0) * jnp.float32(0.5 * width)
+            pyn = (1.0 - ye / zclip / tany) * jnp.float32(0.5 * height)
+            minx = jnp.minimum(minx, jnp.where(npar, pxn, BIG))
+            maxx = jnp.maximum(maxx, jnp.where(npar, pxn, -BIG))
+            miny = jnp.minimum(miny, jnp.where(npar, pyn, BIG))
+            maxy = jnp.maximum(maxy, jnp.where(npar, pyn, -BIG))
         anyc = anyc | cross
     pad = jnp.where(anyc, jnp.float32(2.0), jnp.float32(1e-2))
     minx, maxx = minx - pad, maxx + pad

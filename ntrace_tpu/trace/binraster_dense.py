@@ -1,0 +1,482 @@
+"""Dense-lane bin-raster primary engine (v2): extract-free MT tiles.
+
+Reference parity: same benchmark surface as the upstream persistent
+packet tracers on PRIMARY rays (SURVEY.md SS3.3), exact Moller-Trumbore,
+closest hit, lowest-tri-id tie-break -- pixel-identical to the BVH
+engines and to trace/binraster.py (v1).
+
+Why a v2: the v1 kernel reads every triangle's 10 constants with scalar
+lane extracts (`trow[0, c]`) -- ~10 extracts x ~300k visited pairs
+~ 3M scalar-pipe ops at 2.7-8 ns each, which PERF_NOTES.md round-2/3
+probes identify as exactly the serial scalar-issue work that caps the
+packet family at ~43 Mrays/s. v2 removes the scalar pipe from the pair
+loop entirely:
+
+  * Triangles live SUBLANE-major in (8, 128) tiles: 11 groups of 8 tris,
+    each group owning 11 lanes [v0.xyz e1.xyz e2.xyz tid zmin]. A
+    triangle constant is a `(8, 1)` static lane slice that broadcasts
+    against `(8, 128)` ray tiles inside the arithmetic -- the
+    vector-pipe operand-broadcast pattern the slabbc knob proved both
+    Mosaic-legal and fastest (PERF_NOTES round-3 session 6).
+  * Ray-direction rows are replicated sublane-wise once per bin
+    (packet_common.rep_rows concat -- the Mosaic-safe replication).
+  * Each (8-tri group) x (128-ray row) pair tile is ~45 straight-line
+    VPU ops; accumulators keep one lexicographic (t, id) slot per
+    sublane and reduce 8 -> 1 once per bin with axis-0 rolls.
+
+Work scaling: VPU pair-tests = pairs x rays/bin. Quartering the bin tile
+(32 -> 16 px) quarters rays/bin while pair counts grow only with tri
+bbox perimeter (scripts/binraster_tilesize_study.py prices it per
+scene), so `tile` is a tuning knob here rather than v1's fixed 32.
+
+Exactness: bins only cull; every tested pair runs MT with the identical
+op order/rounding as trace/packet_pallas.py (bit-equal t/u/v); extra
+exact tests from group-of-88 range straddle cannot change a closest hit
+(same superset argument as v1 / bvh/packed.py). Lex (t, tri) min is
+visit-order invariant. Early-z terminates a bin only when the next
+row's conservative zmin exceeds every ray's current hit t (misses hold
+t = tmax), identical to v1's rule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntrace_tpu.trace.binraster import _counts, Z_MARGIN, INF
+from ntrace_tpu.trace.packet_common import rep_rows
+from ntrace_tpu.ops.morton import _part1by1
+
+GPT = 8          # tris per group (sublanes)
+GROUPS = 11      # groups per (8, 128) tile
+TPT = GPT * GROUPS   # 88 tris per tile
+CPL = 11         # lanes per group: v0(3) e1(3) e2(3) tid zmin
+
+
+def bin_mcodes(txn: int, tyn: int, max_bits: int) -> np.ndarray:
+    """Sorted 2D Morton codes of all bins (bin slot = Morton block rank)."""
+    from ntrace_tpu.ops.morton import morton2d
+
+    bx, by = np.meshgrid(np.arange(txn), np.arange(tyn))
+    mc = np.sort(morton2d(np, bx.ravel(), by.ravel()))
+    if mc[-1] >= 1 << max_bits:
+        raise ValueError("bin grid exceeds the fused sort key's bin bits")
+    return mc.astype(np.int32)
+
+
+def pick_quant(total: int, quantum: int, floor: int, slack: float = 1.15,
+               pad: int = 96) -> int:
+    """Static geometric capacity bucket rounded to `quantum`."""
+    cap = max(floor, quantum)
+    while cap < total * slack + pad:
+        cap = cap * 3 // 2
+    cap += (-cap) % quantum
+    return cap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "k_slots", "k2_slots"))
+def count_pairs_dense(verts, cam, *, width, height, tile, k_slots,
+                      k2_slots=64):
+    """(sorted-tier pairs incl. mid tier, mid-tier tris, global tris)."""
+    *_, cnt, _ = _counts(verts, cam, width=width, height=height, tile=tile)
+    over = cnt > k_slots
+    over2 = cnt > k2_slots
+    return (jnp.sum(jnp.where(over2, 0, cnt)),
+            jnp.sum((over & ~over2).astype(jnp.int32)),
+            jnp.sum(over2.astype(jnp.int32)))
+
+
+def _pack_dense(skey, lanes, zdec, p_cap):
+    """(p_cap,) sorted pairs -> (p_cap//88 * 8, 128) dense tiles.
+
+    Pair p sits at tile p//88, group (p%88)//8, sublane p%8; its 11
+    constants [v0 e1 e2 tid zmin] occupy lanes 11g..11g+10 of its
+    sublane row.
+    """
+    nt = p_cap // TPT
+    cols = jnp.concatenate([lanes, zdec[:, None]], axis=1)   # (p, 11)
+    # (nt, GROUPS, GPT, CPL) -> (nt, GPT, GROUPS, CPL): one transposed
+    # copy, XLA lowers it as a tiled relayout.
+    tiles = cols.reshape(nt, GROUPS, GPT, CPL).transpose(0, 2, 1, 3)
+    flat = tiles.reshape(nt * GPT, GROUPS * CPL)
+    out = jnp.zeros((nt * GPT, 128), jnp.float32)
+    return out.at[:, : GROUPS * CPL].set(flat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "k_slots", "g_max",
+                     "p_max", "k2_slots", "g2_max", "z_bits"))
+def binraster_prep_dense(verts, cam, mcodes, *, width, height, tile,
+                         k_slots, g_max, p_max, k2_slots=64, g2_max=TPT,
+                         z_bits=19):
+    """Gather-free fixed-slot prep emitting the dense-lane tile layout.
+
+    Same two-tier + walked-global structure and exactness argument as
+    trace/binraster.py binraster_prep_fast (fixed k_slots static slots
+    per tri, z-sorted mid tier, tiny global tier for huge tris); the sort
+    key is (bin_morton << z_bits) | truncated-z with z_bits sized so the
+    bin grid fits 31 bits at any supported tile size.
+
+    Returns (rows (g2_max//88*8 + p_max//88*8, 128) f32, row0, row1 (nb,)
+    i32 tile indices, g_r1 (1,) i32 global-tier tiles, ok bool).
+    """
+    n = verts.shape[0]
+    zshift = 32 - z_bits
+    zmask = (1 << z_bits) - 1
+    tx0, tx1, ty0, ty1, cnt, zmin = _counts(
+        verts, cam, width=width, height=height, tile=tile)
+    wbin = tx1 - tx0 + 1
+    over = cnt > k_slots
+    over2 = cnt > k2_slots
+    n_over = jnp.sum(over.astype(jnp.int32))
+    n_over2 = jnp.sum(over2.astype(jnp.int32))
+    zsafe = jnp.maximum(zmin * (1.0 - Z_MARGIN), 0.0)
+    zbits = ((jax.lax.bitcast_convert_type(zsafe, jnp.int32) >> zshift)
+             & zmask)
+    SENT = jnp.int32(0x7FFFFFFF)
+
+    def slot_key(k, t0x, t0y, w, zb, valid):
+        kk = jnp.int32(k)
+        bx = t0x + kk % w
+        by = t0y + kk // w
+        mc = ((_part1by1(jnp, by) << jnp.uint32(1))
+              | _part1by1(jnp, bx)).astype(jnp.int32)
+        return jnp.where(valid, (mc << z_bits) | zb, SENT)
+
+    cols = [slot_key(k, tx0, ty0, wbin, zbits,
+                     (~over) & (jnp.int32(k) < cnt))
+            for k in range(k_slots)]
+    keys = jnp.stack(cols).reshape(-1)
+
+    okey = jnp.where(over, zbits, SENT)
+    oidx = jnp.arange(n, dtype=jnp.int32)
+    if n < g_max:
+        okey = jnp.concatenate([okey, jnp.full((g_max - n,), SENT)])
+        oidx = jnp.concatenate([oidx, jnp.zeros((g_max - n,), jnp.int32)])
+    sok, sidx = jax.lax.sort((okey, oidx), num_keys=1)
+    gk, gi = sok[:g_max], sidx[:g_max]
+    gvalid = gk != SENT
+    t0xg, t0yg = tx0[gi], ty0[gi]
+    wbing, cntg = wbin[gi], cnt[gi]
+    zbg = gk & zmask
+    midv = gvalid & (cntg <= k2_slots)
+    gv = verts[gi]
+    gv0 = gv[:, 0]
+
+    cols2 = [slot_key(k, t0xg, t0yg, wbing, zbg,
+                      midv & (jnp.int32(k) < cntg))
+             for k in range(k2_slots)]
+    keys = jnp.concatenate([keys, jnp.stack(cols2).reshape(-1)])
+
+    def padto(a, fill):
+        if a.shape[0] >= p_max:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((p_max - a.shape[0],), fill, a.dtype)])
+
+    keys = padto(keys, SENT)
+    v0 = verts[:, 0]
+
+    def tiers(col_all, col_g):
+        return jnp.concatenate(
+            [jnp.tile(col_all, k_slots), jnp.tile(col_g, k2_slots)])
+
+    pay = [(v0[:, c], gv0[:, c]) for c in range(3)]
+    pay += [(verts[:, 1, c] - v0[:, c], gv[:, 1, c] - gv0[:, c])
+            for c in range(3)]
+    pay += [(verts[:, 2, c] - v0[:, c], gv[:, 2, c] - gv0[:, c])
+            for c in range(3)]
+    tid = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+    pay.append((tid, gi.astype(jnp.float32)))
+    ops = (keys,) + tuple(padto(tiers(a, g), 0) for a, g in pay)
+    srt = jax.lax.sort(ops, num_keys=1)
+    skey = srt[0][:p_max]
+    spay = [s[:p_max] for s in srt[1:]]
+    svalid = skey != SENT
+    spay[9] = jnp.where(svalid, spay[9], jnp.float32(-1.0))
+    lanes = jnp.stack(spay, axis=1)                  # (p_max, 10)
+    zdec = jax.lax.bitcast_convert_type(
+        (skey & zmask) << zshift, jnp.float32)
+    zdec = jnp.where(svalid, zdec, INF)
+    rows_b = _pack_dense(skey, lanes, zdec, p_max)
+
+    sgroup = skey >> z_bits
+    # Tile-granularity bin ranges: straddle rows test a neighbour's real
+    # triangles or inert tid=-1 pad -- exact either way.
+    pair0 = jnp.searchsorted(sgroup, mcodes, side="left").astype(jnp.int32)
+    pair1 = jnp.searchsorted(sgroup, mcodes, side="right").astype(jnp.int32)
+    row0 = pair0 // TPT
+    row1 = jnp.minimum((pair1 + TPT - 1) // TPT, p_max // TPT)
+
+    # Walked-global tier (tris covering > k2_slots bins), z-ascending.
+    okey2 = jnp.where(gvalid & ~midv, gk, SENT)
+    sok2, gslot = jax.lax.sort(
+        (okey2, jnp.arange(g_max, dtype=jnp.int32)), num_keys=1)
+    g2k = sok2[:g2_max]
+    g2valid = g2k != SENT
+    g2i = gi[gslot[:g2_max]]
+    g2v = verts[g2i]
+    g2v0 = g2v[:, 0]
+    glanes = jnp.concatenate([
+        g2v0, g2v[:, 1] - g2v0, g2v[:, 2] - g2v0,
+        jnp.where(g2valid, g2i, -1).astype(jnp.float32)[:, None],
+    ], axis=1)
+    gzdec = jax.lax.bitcast_convert_type(
+        (g2k & zmask) << zshift, jnp.float32)
+    gzdec = jnp.where(g2valid, gzdec, INF)
+    grows = _pack_dense(g2k, glanes, gzdec, g2_max)
+    g_r1 = (jnp.minimum(n_over2, g2_max) + TPT - 1) // TPT
+
+    rows = jnp.concatenate([grows, rows_b], axis=0)
+    gnt = g2_max // TPT
+    sorted_total = jnp.sum(jnp.where(over2, 0, cnt))
+    ok = ((sorted_total <= p_max) & (n_over <= g_max)
+          & (n_over2 <= g2_max))
+    return (rows, row0 + gnt, row1 + gnt,
+            g_r1.reshape(1).astype(jnp.int32), ok)
+
+
+# --------------------------------------------------------------------------
+# The dense kernel
+
+
+def _make_dense_kernel(n_bins: int, ray_rows: int, ez_chunk: int,
+                       n_tiles: int, g_prefix: bool):
+    shape = (GPT, 128)
+
+    def kernel(*refs):
+        if g_prefix:
+            (scal_ref, row0_ref, row1_ref, gref, rows_ref, dirs_ref,
+             out_t, out_id, out_u, out_v) = refs
+        else:
+            (scal_ref, row0_ref, row1_ref, rows_ref, dirs_ref,
+             out_t, out_id, out_u, out_v) = refs
+        nrd = n_bins * ray_rows
+        ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
+        tn, tx = scal_ref[3], scal_ref[4]
+
+        def bin_body(b, _):
+            base = b * ray_rows
+            # Ray rows replicated to (8, 128) once per bin (Mosaic-safe
+            # concat) -- reused by every triangle group.
+            drep = []
+            for r in range(ray_rows):
+                dx = rep_rows(dirs_ref[pl.ds(base + r, 1), :], GPT)
+                dy = rep_rows(dirs_ref[pl.ds(nrd + base + r, 1), :], GPT)
+                dz = rep_rows(dirs_ref[pl.ds(2 * nrd + base + r, 1), :], GPT)
+                drep.append((dx, dy, dz))
+            accs = [(jnp.full(shape, 1.0, jnp.float32) * tx,
+                     jnp.full(shape, -1, jnp.int32),
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.zeros(shape, jnp.float32))
+                    for _ in range(ray_rows)]
+
+            def tile_tris(w, accs):
+                tt = rows_ref[pl.ds(jnp.minimum(w, n_tiles - 1) * GPT,
+                                    GPT), :]
+                for g in range(GROUPS):
+                    c = lambda k: tt[:, CPL * g + k: CPL * g + k + 1]
+                    v0x, v0y, v0z = c(0), c(1), c(2)
+                    e1x, e1y, e1z = c(3), c(4), c(5)
+                    e2x, e2y, e2z = c(6), c(7), c(8)
+                    # Materialize the (8, 1) tri-id column to (8, 128)
+                    # with ONE legal binop broadcast; selects then see
+                    # equal shapes (mixed-shape selects are in the
+                    # Mosaic broadcast-crash family, PERF_NOTES r3s6).
+                    tid = (c(9).astype(jnp.int32)
+                           + jnp.zeros(shape, jnp.int32))
+                    # Per-group constants ((8,1) columns): identical
+                    # values/op-order as packet_pallas MT computes per
+                    # pair -- f32 elementwise, so bit-equal.
+                    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    c0 = e2x * qx + e2y * qy + e2z * qz
+                    okg = tid >= 0                       # (8, 128)
+                    new = []
+                    for (dx, dy, dz), hs in zip(drep, accs):
+                        cur_t, cur_id, cur_u, cur_v = hs
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv = np.float32(1.0) / jnp.where(
+                            det == 0, np.float32(1.0), det)
+                        u = (tvx * px + tvy * py + tvz * pz) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = c0 * inv
+                        ok = ((det != 0) & okg & (u >= 0) & (v >= 0)
+                              & (u + v <= 1) & (t > tn))
+                        bt = jnp.where(ok, t, INF)
+                        bid = jnp.where(ok, tid, jnp.int32(0x7FFFFFFF))
+                        acc = (bt < cur_t) | ((bt == cur_t)
+                                              & (bid < cur_id))
+                        new.append((jnp.where(acc, bt, cur_t),
+                                    jnp.where(acc, bid, cur_id),
+                                    jnp.where(acc, u, cur_u),
+                                    jnp.where(acc, v, cur_v)))
+                    accs = new
+                return accs
+
+            def walk(w0, w1, accs):
+                if ez_chunk == 0:
+                    def fbody(k, accs):
+                        return tile_tris(w0 + k, accs)
+
+                    return jax.lax.fori_loop(0, w1 - w0, fbody, accs)
+
+                def wcond(c):
+                    w, accs, live = c
+                    return (w < w1) & live
+
+                def wbody(c):
+                    w, accs, _ = c
+                    # Tiles past w1 clamp to w1-1: re-accumulating the
+                    # same candidates is idempotent under lex-min.
+                    for i in range(ez_chunk):
+                        accs = tile_tris(jnp.minimum(w + i, w1 - 1), accs)
+                    wn = w + ez_chunk
+                    zrow = rows_ref[pl.ds(jnp.minimum(wn, n_tiles - 1)
+                                          * GPT, 1), :]
+                    znext = zrow[0, 10]
+                    mt = accs[0][0]
+                    for hs in accs[1:]:
+                        mt = jnp.maximum(mt, hs[0])
+                    live = znext <= jnp.max(mt)
+                    return wn, accs, live
+
+                _, accs, _ = jax.lax.while_loop(
+                    wcond, wbody, (w0, accs, jnp.bool_(True)))
+                return accs
+
+            if g_prefix:
+                accs = walk(jnp.int32(0), gref[0], accs)
+            accs = walk(row0_ref[b], row1_ref[b], accs)
+
+            # Lexicographic 8 -> 1 sublane reduction per ray row
+            # (axis-0 rolls are Mosaic-safe), then one (1, 128) result
+            # row per 128 rays.
+            for r, hs in enumerate(accs):
+                cur = hs
+                sh = GPT // 2
+                while sh >= 1:
+                    rl = tuple(pltpu.roll(a, sh, axis=0) for a in cur)
+                    take = (rl[0] < cur[0]) | ((rl[0] == cur[0])
+                                               & (rl[1] < cur[1]))
+                    cur = tuple(jnp.where(take, rl[i], cur[i])
+                                for i in range(4))
+                    sh //= 2
+                out_t[pl.ds(base + r, 1), :] = cur[0][0:1]
+                out_id[pl.ds(base + r, 1), :] = cur[1][0:1]
+                out_u[pl.ds(base + r, 1), :] = cur[2][0:1]
+                out_v[pl.ds(base + r, 1), :] = cur[3][0:1]
+            return 0
+
+        jax.lax.fori_loop(0, n_bins, bin_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bins", "ray_rows", "ez_chunk", "interpret"))
+def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
+                     n_bins: int, ray_rows: int, ez_chunk: int = 4,
+                     interpret: bool = False):
+    """Trace prepped dense tiles. dirs: (3 * n_bins * ray_rows, 128) f32
+    component-stacked dirs in Morton slot order; scalars: (8,) f32
+    [ox, oy, oz, tmin, tmax, 0, 0, 0]. Returns (tri, t, u, v) flat
+    (n_bins * ray_rows * 128,) in slot order; tri == -1 on miss."""
+    nrd = n_bins * ray_rows
+    n_tiles = rows.shape[0] // GPT
+    g_prefix = g_r1 is not None
+    params = {}
+    if not interpret:
+        table_bytes = (rows.shape[0] + dirs.shape[0] + 4 * nrd) * 128 * 4
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(table_bytes + (16 << 20), 127 << 20))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    args = [scalars, row0, row1]
+    in_specs = [sspec, sspec, sspec]
+    if g_prefix:
+        args.append(g_r1)
+        in_specs.append(sspec)
+    args += [rows, dirs]
+    in_specs += [vspec, vspec]
+    out = pl.pallas_call(
+        _make_dense_kernel(n_bins, ray_rows, ez_chunk, n_tiles, g_prefix),
+        in_specs=in_specs,
+        out_specs=[vspec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((nrd, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nrd, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nrd, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nrd, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        **params,
+    )(*args)
+    t = out[0].reshape(-1)
+    tri = out[1].reshape(-1)
+    return tri, t, out[2].reshape(-1), out[3].reshape(-1)
+
+
+# --------------------------------------------------------------------------
+# Public entry
+
+
+def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
+                        ez_chunk=4, interpret=False, p_max=None,
+                        k_slots=8, g_max=None, k2_slots=64):
+    """Primary-ray closest-hit over the full camera grid (dense engine).
+
+    verts_dev: (n, 3, 3) f32 device triangle vertices. cam: raygen
+    camera_arrays dict. dirn: (W*H, 3) normalized dirs in Morton slot
+    order. Returns (tri, t, u, v) in slot order. Caller contract as v1:
+    canonical primary rays (orig == cam pos, uniform tmin == znear,
+    uniform tmax), W/H multiples of the power-of-two tile.
+    """
+    if width % tile or height % tile or tile & (tile - 1):
+        raise ValueError("W/H must be multiples of the power-of-two tile")
+    rays_per_bin = tile * tile
+    if rays_per_bin % 128:
+        raise ValueError("tile*tile must be a multiple of 128")
+    ray_rows = rays_per_bin // 128
+    txn, tyn = width // tile, height // tile
+    nb = txn * tyn
+    z_bits = 19
+    mcodes_np = bin_mcodes(txn, tyn, 31 - z_bits)
+    dirs = jnp.transpose(dirn).reshape(3 * nb * ray_rows, 128)
+    scalars = jnp.concatenate([
+        cam["pos"].astype(jnp.float32),
+        jnp.stack([cam["znear"], cam["zfar"],
+                   jnp.float32(0), jnp.float32(0), jnp.float32(0)]),
+    ])
+    total, n_mid, n_g = (int(x) for x in count_pairs_dense(
+        verts_dev, cam, width=width, height=height, tile=tile,
+        k_slots=k_slots, k2_slots=k2_slots))
+    if p_max is None:
+        p_max = pick_quant(total, TPT, 8 * TPT)
+    if g_max is None:
+        g_max = pick_quant(n_mid + n_g, TPT, 16 * TPT)
+    g2_max = pick_quant(n_g, TPT, 2 * TPT)
+    rows, row0, row1, g_r1, ok = binraster_prep_dense(
+        verts_dev, cam, jnp.asarray(mcodes_np), width=width, height=height,
+        tile=tile, k_slots=k_slots, g_max=g_max, p_max=p_max,
+        k2_slots=k2_slots, g2_max=g2_max, z_bits=z_bits)
+    tri, t, u, v = trace_dense_rows(
+        rows, row0, row1, dirs, scalars, g_r1,
+        n_bins=nb, ray_rows=ray_rows, ez_chunk=ez_chunk,
+        interpret=interpret)
+    # Static-bucket overflow poisons hits (-2): loud, never silent.
+    return jnp.where(ok, tri, -2), t, u, v

@@ -66,11 +66,16 @@ try:
 except OSError:
     br = []
 br_best = None
+# Only configs with a committed golden record that MATCHED are eligible:
+# arming a fast-but-wrong config fleet-wide until the next bench golden
+# gate trips is worse than leaving the packet winner in place.
+br_golden_ok = {rec.get("cfg") for rec in br
+                if rec.get("stage") == "golden" and rec.get("match")}
 for rec in br:
     if rec.get("stage") != "full" or "mrays" not in rec:
         continue
     m = re.match(r"k(\d+)_u(\d+)_ez(\d+)$", rec.get("cfg", ""))
-    if not m:
+    if not m or rec.get("cfg") not in br_golden_ok:
         continue
     cand = dict(primary_engine="binraster", br_k=int(m.group(1)),
                 br_unroll=int(m.group(2)), br_ez=int(m.group(3)),

@@ -81,9 +81,13 @@ def test_binraster_fast_no_payload_matches():
 def test_binraster_fast_overflow_poisons():
     # Forcing undersized static buckets must poison hits (-2), never
     # silently drop triangles (binraster_prep_fast's ok contract).
+    # p_max=24 (a TPB multiple) < one pair per triangle (300 tris):
+    # guaranteed overflow. (96 used to overflow only via the unclamped
+    # near-plane clip's inflated bboxes; the round-4 conservative clamp
+    # shrank those.)
     tri, *_ = _frame(
         64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
-        prep="fast", p_max=96)
+        prep="fast", p_max=24)
     assert (np.asarray(tri) == -2).all()
 
 

@@ -1,0 +1,97 @@
+"""Dense-lane bin-raster engine (v2) vs brute force and v1.
+
+Exactness is the contract: the engine only CULLS via screen bins; every
+surviving candidate runs the identical MT arithmetic (op order, f32
+rounding) as the BVH engines and v1, so hits must match the golden
+bit-for-bit -- see ntrace_tpu/trace/binraster_dense.py docstring.
+Mirrors tests/test_binraster.py's strategy: interpret-mode kernel vs the
+exhaustive MT reference on random soups, multiple poses, both bin tile
+sizes, early-z on/off, and the overflow-poisoning contract.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ntrace_tpu.bvh.golden import brute_force_mt
+from ntrace_tpu.core import Camera
+from ntrace_tpu.ray.pixeltable import pixel_table
+from ntrace_tpu.ray.raygen import camera_arrays, primary
+from ntrace_tpu.scenes import make_random_soup
+from ntrace_tpu.trace.binraster_dense import trace_dense_primary
+
+
+def _frame(W, H, campos, fwd, n_tris, seed, **kw):
+    scene = make_random_soup(n_tris=n_tris, seed=seed)
+    cam = Camera(position=campos, forward=fwd, up=(0.0, 1.0, 0.0),
+                 fov_deg=70.0, znear=1e-3, zfar=1e4)
+    ca = camera_arrays(cam, W, H)
+    order, _ = pixel_table(W, H)
+    rb = primary(ca, W, H, order)
+    tri, t, u, v = trace_dense_primary(
+        jnp.asarray(scene.tri_verts()), ca, rb.dirn,
+        width=W, height=H, interpret=True, **kw)
+    ref = brute_force_mt(scene, np.asarray(rb.orig), np.asarray(rb.dirn),
+                         np.asarray(rb.tmin), np.asarray(rb.tmax))
+    return np.asarray(tri), np.asarray(t), np.asarray(u), np.asarray(v), ref
+
+
+@pytest.mark.parametrize("tile,ez_chunk", [(16, 4), (16, 0), (32, 2)])
+def test_dense_matches_brute_force(tile, ez_chunk):
+    tri, t, u, v, ref = _frame(
+        64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
+        tile=tile, ez_chunk=ez_chunk)
+    np.testing.assert_array_equal(tri, ref.tri)
+    hit = ref.tri >= 0
+    assert hit.sum() > 100
+    np.testing.assert_allclose(t[hit], ref.t[hit], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(u[hit], ref.u[hit], rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(v[hit], ref.v[hit], rtol=1e-3, atol=2e-4)
+
+
+def test_dense_oblique_camera():
+    tri, t, u, v, ref = _frame(
+        64, 48, (2.5, 1.5, 3.0), (-0.6, -0.35, -1.0), 500, 23, tile=16)
+    np.testing.assert_array_equal(tri, ref.tri)
+
+
+def test_dense_camera_inside_soup():
+    # Near-plane crossers + geometry in every direction: exercises the
+    # walked-global tier and the exact near-plane clip path.
+    tri, t, u, v, ref = _frame(
+        64, 64, (0.0, 0.0, 0.0), (0.3, -0.2, -1.0), 400, 37, tile=16)
+    np.testing.assert_array_equal(tri, ref.tri)
+
+
+def test_dense_overflow_poisons():
+    # Undersized static bucket must poison hits (-2), never silently
+    # drop triangles (p_max=88 < one pair per tri for 300 tris).
+    tri, *_ = _frame(
+        64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
+        tile=16, p_max=88)
+    assert (tri == -2).all()
+
+
+def test_dense_matches_v1_bit_exact():
+    # Same soup, same camera, same 32px bins: v2 must agree with v1 on
+    # tri ids AND t/u/v bits (both implement packet_pallas MT op order).
+    from ntrace_tpu.trace.binraster import trace_binraster_primary
+
+    scene = make_random_soup(n_tris=400, seed=51)
+    cam = Camera(position=(0.5, -0.3, 3.5), forward=(-0.1, 0.1, -1.0),
+                 up=(0.0, 1.0, 0.0), fov_deg=55.0, znear=1e-3, zfar=1e4)
+    W = H = 64
+    ca = camera_arrays(cam, W, H)
+    order, _ = pixel_table(W, H)
+    rb = primary(ca, W, H, order)
+    verts = jnp.asarray(scene.tri_verts())
+    t2, tt2, u2, v2 = trace_dense_primary(
+        verts, ca, rb.dirn, width=W, height=H, tile=32, interpret=True)
+    t1, tt1, u1, v1 = trace_binraster_primary(
+        verts, ca, rb.dirn, width=W, height=H, tile=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t1))
+    hit = np.asarray(t1) >= 0
+    np.testing.assert_array_equal(np.asarray(tt2)[hit],
+                                  np.asarray(tt1)[hit])
+    np.testing.assert_array_equal(np.asarray(u2)[hit], np.asarray(u1)[hit])
+    np.testing.assert_array_equal(np.asarray(v2)[hit], np.asarray(v1)[hit])
