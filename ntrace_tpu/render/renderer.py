@@ -884,6 +884,41 @@ class Renderer:
 
     # -- ray-type passes ---------------------------------------------------
 
+    def gen_secondary(self, camera: Camera, mode: str, batch, tri, t,
+                      key=None):
+        """Secondary RayBatch for `mode` exactly as render() builds it
+        (dead rays zero-length, optional Morton coherence sort).
+
+        Returns (RayBatch, any_hit). Shared by render() and the matrix
+        benchmark so chained-marginal trace timings measure the very
+        batch the renderer traces (VERDICT r3: one measurement protocol).
+        """
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed) if key is None else key
+        hit_mask = tri >= 0
+        normals = self._unit_normals(tri, batch.dirn)
+        hit_pos = batch.orig + jnp.where(hit_mask, t, 0.0)[:, None] * batch.dirn
+        if mode == "shadow":
+            light = jnp.asarray(self._default_light(camera), jnp.float32)
+            sbatch = raygen.shadow(hit_pos, normals, light, self.eps)
+            sbatch = RayBatch(sbatch.orig, sbatch.dirn, sbatch.tmin,
+                              jnp.where(hit_mask, sbatch.tmax, 0.0),
+                              sbatch.slot_to_id)
+            return sbatch, True
+        if mode in ("ao", "diffuse"):
+            S = cfg.samples
+            gen = raygen.ao if mode == "ao" else raygen.diffuse
+            arg = cfg.ao_radius if mode == "ao" else self.scene_scale * 10.0
+            sec = gen(key, hit_pos, normals, S, jnp.float32(arg), self.eps)
+            sec = RayBatch(sec.orig, sec.dirn, sec.tmin,
+                           jnp.where(jnp.repeat(hit_mask, S), sec.tmax, 0.0),
+                           sec.slot_to_id)
+            if cfg.sort_secondary:
+                sec = morton_sort_rays(sec, self.scene_lo, self.scene_hi,
+                                       direction_major=(mode != "ao"))
+            return sec, mode == "ao"
+        raise ValueError(f"no secondary pass for mode {mode!r}")
+
     def render(self, camera: Camera, mode: str | None = None) -> RenderResult:
         cfg = self.cfg
         mode = mode or cfg.mode
@@ -949,13 +984,9 @@ class Renderer:
             color = jnp.where(hit_mask[:, None],
                               albedo * (0.2 + 0.8 * ndotd)[:, None], 0.0)
         elif mode == "shadow":
-            light = jnp.asarray(self._default_light(camera), jnp.float32)
             with timer.stage("raygen_shadow"):
-                sbatch = raygen.shadow(hit_pos, normals, light, self.eps)
-                # dead rays (primary miss): zero-length segment
-                sbatch = RayBatch(sbatch.orig, sbatch.dirn, sbatch.tmin,
-                                  jnp.where(hit_mask, sbatch.tmax, 0.0),
-                                  sbatch.slot_to_id)
+                sbatch, _ = self.gen_secondary(camera, mode, batch, tri, t,
+                                               key=key)
                 jax.block_until_ready(sbatch.tmax)
             with timer.stage("trace_shadow"):
                 stri, *_ = _trace_batched(
@@ -968,18 +999,10 @@ class Renderer:
         elif mode in ("ao", "diffuse"):
             S = cfg.samples
             with timer.stage(f"raygen_{mode}"):
-                gen = raygen.ao if mode == "ao" else raygen.diffuse
-                # ao_radius is in world units (reference semantics).
-                arg = cfg.ao_radius if mode == "ao" else self.scene_scale * 10.0
-                sec = gen(key, hit_pos, normals, S, jnp.float32(arg), self.eps)
-                sec = RayBatch(sec.orig, sec.dirn, sec.tmin,
-                               jnp.where(jnp.repeat(hit_mask, S), sec.tmax, 0.0),
-                               sec.slot_to_id)
-                if cfg.sort_secondary:
-                    # AO rays are short (ao_radius tmax): origin-major key;
-                    # long bounce rays: direction-major (see raybatch.py).
-                    sec = morton_sort_rays(sec, self.scene_lo, self.scene_hi,
-                                           direction_major=(mode != "ao"))
+                # ao_radius is world units; AO rays sort origin-major,
+                # long bounce rays direction-major (see raybatch.py).
+                sec, _ = self.gen_secondary(camera, mode, batch, tri, t,
+                                            key=key)
                 jax.block_until_ready(sec.tmax)
             with timer.stage(f"trace_{mode}"):
                 if cfg.sort_secondary:  # dead rays are at the end

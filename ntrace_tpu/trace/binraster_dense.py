@@ -96,16 +96,18 @@ def count_pairs_dense(verts, cam, *, width, height, tile, k_slots,
 def _pack_dense(skey, lanes, zdec, p_cap):
     """(p_cap,) sorted pairs -> (p_cap//88 * 8, 128) dense tiles.
 
-    Pair p sits at tile p//88, group (p%88)//8, sublane p%8; its 11
-    constants [v0 e1 e2 tid zmin] occupy lanes 11g..11g+10 of its
-    sublane row.
+    Pair p sits at tile p//88, sublane (p%88)//11, group p%11 (lanes
+    11g..11g+10 hold [v0 e1 e2 tid zmin]) -- the INTERLEAVED group
+    assignment makes this a pure reshape of the sorted (p, 11) column
+    array (a transpose here costs seconds: lane-dim-11 intermediates pad
+    to 128 physically, the LBVH bounds-table lesson). Visit order within
+    a tile is irrelevant under the kernel's lexicographic min, and pair
+    T*88 (the tile's z-minimum) still lands at sublane 0 / group 0 /
+    lane 10, which is all early-z reads.
     """
     nt = p_cap // TPT
     cols = jnp.concatenate([lanes, zdec[:, None]], axis=1)   # (p, 11)
-    # (nt, GROUPS, GPT, CPL) -> (nt, GPT, GROUPS, CPL): one transposed
-    # copy, XLA lowers it as a tiled relayout.
-    tiles = cols.reshape(nt, GROUPS, GPT, CPL).transpose(0, 2, 1, 3)
-    flat = tiles.reshape(nt * GPT, GROUPS * CPL)
+    flat = cols.reshape(nt * GPT, GROUPS * CPL)
     out = jnp.zeros((nt * GPT, 128), jnp.float32)
     return out.at[:, : GROUPS * CPL].set(flat)
 
