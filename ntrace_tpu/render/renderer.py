@@ -337,8 +337,8 @@ class Renderer:
         # camera/resolution; trace_primary() falls back to the BVH path
         # whenever it is not armed.
         self.primary_engine = None
-        if engine == "binraster":
-            self.primary_engine = "binraster"
+        if engine in ("binraster", "binraster_dense"):
+            self.primary_engine = engine
             engine = "auto"
         from ntrace_tpu.bvh.kdtree import FlatKDTree, kd_to_flatbvh
 
@@ -406,9 +406,10 @@ class Renderer:
         if (self.primary_engine is None
                 and cfg.engine in ("auto", "wavefront")
                 and jax.default_backend() in ("tpu", "axon")
-                and _load_tuned().get("primary_engine") == "binraster"):
-            self.primary_engine = "binraster"
-        if self.primary_engine == "binraster":
+                and _load_tuned().get("primary_engine")
+                in ("binraster", "binraster_dense")):
+            self.primary_engine = _load_tuned()["primary_engine"]
+        if self.primary_engine is not None:
             cap = int(os.environ.get("NTRACE_BINRASTER_MAX_TRIS",
                                      3_000_000))
             if scene.num_tris > cap:
@@ -767,7 +768,9 @@ class Renderer:
         """Arm the bin-raster primary engine for (cam, W, H): pick the
         static pair buckets with one eager device count. Must run OUTSIDE
         jit (bench.py / render() call it before tracing); returns True
-        when armed. No-op unless primary_engine == "binraster"."""
+        when armed. No-op unless primary_engine is a binraster variant."""
+        if self.primary_engine == "binraster_dense":
+            return self._prepare_primary_dense(cam, width, height)
         if self.primary_engine != "binraster":
             return False
         if width % 32 or height % 32:
@@ -802,6 +805,89 @@ class Renderer:
             "cam_pos": np.asarray(cam["pos"], np.float32),
         }
         return True
+
+    def _prepare_primary_dense(self, cam: dict, width: int, height: int):
+        """Arm the dense-lane (v2) bin-raster engine: sublane-major tri
+        groups, zero scalar-pipe work per pair (trace/binraster_dense.py).
+        Tile size is a tuned knob (br2_tile; 16 px default -- quarter the
+        VPU pair-tests of the 32 px v1 grid per the tile-size study)."""
+        from ntrace_tpu.trace import binraster_dense as _bd
+
+        tuned = _load_tuned()
+        tile = int(tuned.get("br2_tile", 16))
+        if (width % tile or height % tile or tile & (tile - 1)
+                or (tile * tile) % 128):
+            self._br = None
+            return False
+        txn, tyn = width // tile, height // tile
+        z_bits = 12
+        try:
+            mcodes = _bd.bin_mcodes(txn, tyn, 31 - z_bits)
+        except ValueError:
+            self._br = None   # bin grid exceeds the fused key's bin bits
+            return False
+        k_cap = int(tuned.get("br2_kcap", 64))
+        total, n_mid, n_g = (int(x) for x in _bd.count_pairs_dense(
+            self._br_verts, cam, width=width, height=height, tile=tile,
+            k_slots=k_cap, k2_slots=k_cap))
+        self._br = {
+            "dense": True, "width": width, "height": height,
+            "nb": txn * tyn, "tile": tile, "ray_rows": tile * tile // 128,
+            "k_cap": k_cap, "z_bits": z_bits,
+            "p_max": _bd.pick_quant(total + n_mid, _bd.TPT, 8 * _bd.TPT),
+            "g2_max": (_bd.pick_quant(n_g, _bd.TPT, _bd.TPT)
+                       if n_g else 0),
+            "ez_chunk": int(tuned.get("br2_ez", 0)),
+            "tpv": int(tuned.get("br2_tpv", 1)),
+            "mcodes": jnp.asarray(mcodes),
+            "cam_pos": np.asarray(cam["pos"], np.float32),
+        }
+        return True
+
+    def freeze_primary_structure(self, cam: dict) -> float:
+        """Build the dense engine's screen-space structure ONCE, eagerly,
+        and pin it for subsequent trace_primary calls -- the analogue of
+        the reference's prebuilt CudaBVH (its benchmark times traversal
+        against a prebuilt tree; the dense prep is this engine's
+        structure build). Geometry or camera changes require re-calling.
+        Returns the build's wall seconds (callers report it alongside).
+        Requires a prior successful prepare_primary."""
+        import time as _time
+
+        from ntrace_tpu.trace import binraster_dense as _bd
+
+        c = self._br
+        t0 = _time.time()
+        out = jax.block_until_ready(_bd.binraster_prep_dense3(
+            self._br_verts, cam, c["mcodes"], width=c["width"],
+            height=c["height"], tile=c["tile"], k_cap=c["k_cap"],
+            p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"]))
+        c["frozen"] = out
+        return _time.time() - t0
+
+    def _trace_binraster_dense(self, dirn, tmin, tmax, cam):
+        from ntrace_tpu.trace import binraster_dense as _bd
+
+        c = self._br
+        if c.get("frozen") is not None:
+            rows, r0, r1, g1, ok = c["frozen"]
+        else:
+            # Same prep-in-the-frame-chain trick as v1 (1e-30 * tmin[0]).
+            veff = self._br_verts + 1e-30 * tmin[0]
+            rows, r0, r1, g1, ok = _bd.binraster_prep_dense3(
+                veff, cam, c["mcodes"], width=c["width"],
+                height=c["height"], tile=c["tile"], k_cap=c["k_cap"],
+                p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"])
+        dirs = jnp.transpose(dirn).reshape(3 * c["nb"] * c["ray_rows"], 128)
+        scalars = jnp.concatenate([
+            cam["pos"].astype(jnp.float32),
+            jnp.stack([tmin[0], tmax[0], jnp.float32(0),
+                       jnp.float32(0), jnp.float32(0)])])
+        tri, t, u, v = _bd.trace_dense_rows(
+            rows, r0, r1, dirs, scalars, g1, n_bins=c["nb"],
+            ray_rows=c["ray_rows"], ez_chunk=c["ez_chunk"], tpv=c["tpv"],
+            interpret=jax.default_backend() == "cpu")
+        return jnp.where(ok, tri, -2), t, u, v
 
     def _trace_binraster(self, dirn, tmin, tmax, cam):
         from ntrace_tpu.trace import binraster as _br
@@ -839,10 +925,13 @@ class Renderer:
         tmin == znear and uniform tmax (raygen.primary's output). Calls
         with per-ray tmin/tmax or non-camera origins are routed to the
         BVH path below, whose semantics are fully general."""
-        if (cam is not None and self.primary_engine == "binraster"
+        if (cam is not None
+                and self.primary_engine in ("binraster", "binraster_dense")
                 and getattr(self, "_br", None) is not None
-                and dirn.shape[0] == self._br["nb"] * 1024
+                and dirn.shape[0] == self._br["width"] * self._br["height"]
                 and self._binraster_contract_ok(orig, tmin, tmax, cam)):
+            if self._br.get("dense"):
+                return self._trace_binraster_dense(dirn, tmin, tmax, cam)
             return self._trace_binraster(dirn, tmin, tmax, cam)
         sp = self.cfg.seed_primary
         use_seed = sp == "on" or (sp == "auto"

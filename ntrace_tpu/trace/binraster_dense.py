@@ -247,33 +247,201 @@ def binraster_prep_dense(verts, cam, mcodes, *, width, height, tile,
 
 
 # --------------------------------------------------------------------------
+# prep v3: one-scatter expand + one row-gather + compact sort
+#
+# The r4 device probes priced the v2 prep's bottleneck as ONE op: the
+# 11-operand lax.sort over the fixed-slot tier stack (280k tris x 8
+# static slots + mid tier = 2.33M elements -> 21.3 ms), while the same
+# sort at the COMPACT pair count (462k) costs ~2 ms in-graph
+# (results_r4_dense2.json / results_prep3_bisect.json sort11-key).
+# The primitive pricing that matters (full-consumption, in-graph):
+#
+#   * cumulative ops are ~free (jnp.cumsum @462k: 0.02 ms,
+#     results_cumsum_variants.json),
+#   * ROW-gathers cost ~5 ns/row regardless of row width (2.3 ms per
+#     462k-row (16,) gather, results_prep_primitives.json),
+#   * VALUE-scatters cost the same ~2.3-2.6 ms PER OPERAND
+#     (scatter13 = 30 ms, results_cumsum_variants.json) -- a
+#     13-channel delta-scatter fill-forward is 34 ms and dead on
+#     arrival (results_prep3_bisect.json ff13),
+#   * searchsorted @462k is 58 ms: never.
+#
+# So the expand pays for exactly ONE scatter and ONE row-gather:
+#
+#   tri_of_p: scatter-MAX each tri's index at its exclusive-cumsum
+#     offset, then lax.cummax. Zero-length segments (culled / global-
+#     tier tris) share their offset with the next emitting tri; the
+#     emitting owner has the LARGEST index among sharers (all sharers
+#     below it emit nothing), so the max is the owner, and cummax
+#     propagates it across the segment. Slots past `total` are masked.
+#   attributes: one (n, 16)-row gather T[tri_of_p] carries all per-tri
+#     channels to pair slots (9 vert-coord bit patterns, packed bin
+#     rect, truncated z, offset).
+#
+# Then ONE 11-operand sort at the compact count orders pairs by
+# (bin Morton << z_bits) | truncated-z, and the pack reshape is
+# unchanged. z_bits drops 19 -> 12: z order only drives early-z tile
+# termination (a superset walk either way; exactness is unaffected), and
+# 12 bits leaves 19 for bin Morton (grids to 724x724 bins vs v2's 64x64
+# ADVICE limit).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "p_max", "k_cap",
+                     "g2_max", "z_bits"))
+def binraster_prep_dense3(verts, cam, mcodes, *, width, height, tile,
+                          p_max, k_cap=64, g2_max=0, z_bits=12):
+    """Gather-free compact-sort prep (v3). Same output contract and
+    exactness argument as binraster_prep_dense: (rows, row0, row1, g_r1,
+    ok) dense-lane tiles; bins only cull, pad rows carry tid=-1, lex
+    (t, tri) min is visit-order invariant. Tris covering more than k_cap
+    bins go to the walked global tier (g2_max rows; pass 0 when the
+    count pass saw none and the tier vanishes)."""
+    n = verts.shape[0]
+    zshift = 32 - z_bits
+    zmask = (1 << z_bits) - 1
+    SENT = jnp.int32(0x7FFFFFFF)
+    tx0, tx1, ty0, ty1, cnt, zmin = _counts(
+        verts, cam, width=width, height=height, tile=tile)
+    wbin = tx1 - tx0 + 1
+    zsafe = jnp.maximum(zmin * (1.0 - Z_MARGIN), 0.0)
+    zb = ((jax.lax.bitcast_convert_type(zsafe, jnp.int32) >> zshift)
+          & zmask)
+    over2 = cnt > k_cap
+    incl = ~over2 & (cnt > 0)
+    cntc = jnp.where(incl, cnt, 0)
+    offs = jnp.cumsum(cntc) - cntc                     # exclusive
+    total = jnp.sum(cntc)
+
+    # tri_of_p: ONE scatter-max + cummax (see module note's owner proof).
+    tri_of_p = jax.lax.cummax(
+        jnp.zeros((p_max,), jnp.int32).at[offs].max(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"))
+    # All per-tri channels ride ONE (n, 16)-row gather: 9 vert-coord bit
+    # patterns + packed bin rect (tx0:10|ty0:10|wbin:11) + truncated z +
+    # exclusive offset + padding to the 16-lane row.
+    v0 = verts[:, 0]
+    cols = [v0[:, c] for c in range(3)]
+    cols += [verts[:, 1, c] - v0[:, c] for c in range(3)]
+    cols += [verts[:, 2, c] - v0[:, c] for c in range(3)]
+    tbl = jnp.stack(
+        [jax.lax.bitcast_convert_type(c, jnp.int32) for c in cols]
+        + [tx0 | (ty0 << 10) | (wbin << 20), zb, offs], axis=1)
+    tbl = jnp.concatenate(
+        [tbl, jnp.zeros((n, 16 - tbl.shape[1]), jnp.int32)], axis=1)
+    G = tbl[tri_of_p]                                  # (p_max, 16)
+
+    p = jnp.arange(p_max, dtype=jnp.int32)
+    valid = p < total
+    k = p - G[:, 11]
+    ch1 = G[:, 9]
+    tx0p, ty0p = ch1 & 1023, (ch1 >> 10) & 1023
+    wp = jnp.maximum((ch1 >> 20) & 2047, 1)
+    zbp = G[:, 10]
+    bx = tx0p + k % wp
+    by = ty0p + k // wp
+    mc = ((_part1by1(jnp, by) << jnp.uint32(1))
+          | _part1by1(jnp, bx)).astype(jnp.int32)
+    key = jnp.where(valid, (mc << z_bits) | zbp, SENT)
+
+    srt = jax.lax.sort(
+        (key,) + tuple(G[:, c] for c in range(9)) + (tri_of_p,),
+        num_keys=1)
+    skey = srt[0]
+    svalid = skey != SENT
+    lanes = jnp.stack(
+        [jax.lax.bitcast_convert_type(b, jnp.float32) for b in srt[1:10]]
+        + [jnp.where(svalid, srt[10], -1).astype(jnp.float32)], axis=1)
+    zdec = jax.lax.bitcast_convert_type(
+        (skey & zmask) << zshift, jnp.float32)
+    zdec = jnp.where(svalid, zdec, INF)
+    rows_b = _pack_dense(skey, lanes, zdec, p_max)
+
+    # Tile-granularity walk ranges via tile-min/max keys: searchsorted
+    # over the 88x-smaller per-tile extrema gives bit-identical rows to
+    # pair-level searchsorted + //TPT rounding (first tile whose max
+    # reaches the bin / first tile whose min exceeds it).
+    sgroup = skey >> z_bits
+    gt = sgroup.reshape(p_max // TPT, TPT)
+    row0 = jnp.searchsorted(gt[:, TPT - 1], mcodes,
+                            side="left").astype(jnp.int32)
+    row1 = jnp.searchsorted(gt[:, 0], mcodes,
+                            side="right").astype(jnp.int32)
+    ok = (total <= p_max) & (jnp.sum(over2.astype(jnp.int32)) <= g2_max)
+    if g2_max == 0:
+        return rows_b, row0, row1, None, ok
+
+    # Walked global tier (z-ascending), as v2.
+    okey2 = jnp.where(over2, zb, SENT)
+    sok2, g2i = jax.lax.sort(
+        (okey2, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    g2k, g2i = sok2[:g2_max], g2i[:g2_max]
+    g2valid = g2k != SENT
+    g2v = verts[g2i]
+    g2v0 = g2v[:, 0]
+    glanes = jnp.concatenate([
+        g2v0, g2v[:, 1] - g2v0, g2v[:, 2] - g2v0,
+        jnp.where(g2valid, g2i, -1).astype(jnp.float32)[:, None],
+    ], axis=1)
+    gzdec = jax.lax.bitcast_convert_type(g2k << zshift, jnp.float32)
+    gzdec = jnp.where(g2valid, gzdec, INF)
+    grows = _pack_dense(g2k, glanes, gzdec, g2_max)
+    g_r1 = ((jnp.minimum(jnp.sum(over2.astype(jnp.int32)), g2_max)
+             + TPT - 1) // TPT)
+    gnt = g2_max // TPT
+    rows = jnp.concatenate([grows, rows_b], axis=0)
+    return (rows, row0 + gnt, row1 + gnt,
+            g_r1.reshape(1).astype(jnp.int32), ok)
+
+
+# --------------------------------------------------------------------------
 # The dense kernel
 
 
 def _make_dense_kernel(n_bins: int, ray_rows: int, ez_chunk: int,
-                       n_tiles: int, g_prefix: bool):
+                       n_tiles: int, g_prefix: bool, bpg: int, probe=None,
+                       tpv: int = 1):
+    """probe: measurement knockouts (scripts/dense_kernel_bisect.py), not
+    for rendering -- 'nowalk' skips every tile visit (prices the per-bin
+    fixed cost), 'groups1' runs 1 of the 11 tri groups per visited tile
+    (splits per-visit load/control cost from per-group MT arithmetic).
+
+    The kernel runs on a GRID over groups of `bpg` bins: outputs are
+    blocked (bpg * ray_rows, 128) per step so every result store is a
+    STATIC block-local write, and dir rows are blocked the same way so
+    every ray load is static too. The r4 store0 A/B priced the old
+    dynamic per-row output stores at ~52% of the whole kernel, and the
+    grouped-but-still-dynamic aligned store recovered none of it
+    (results_dense_kernel_bisect.json / results_r4_dense2.json): Mosaic
+    only elides the store cost when the address is static."""
     shape = (GPT, 128)
+    groups = 1 if probe == "groups1" else GROUPS
 
     def kernel(*refs):
         if g_prefix:
-            (scal_ref, row0_ref, row1_ref, gref, rows_ref, dirs_ref,
+            (row0_ref, row1_ref, gref, scal_ref, rows_ref, dirs_ref,
              out_t, out_id, out_u, out_v) = refs
         else:
-            (scal_ref, row0_ref, row1_ref, rows_ref, dirs_ref,
+            (row0_ref, row1_ref, scal_ref, rows_ref, dirs_ref,
              out_t, out_id, out_u, out_v) = refs
-        nrd = n_bins * ray_rows
+        # Ray scalars ride a plain f32 SMEM operand (scalar i32->f32
+        # bitcast is not a legal Mosaic op; tpu.bitcast wants vectors).
         ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
         tn, tx = scal_ref[3], scal_ref[4]
 
-        def bin_body(b, _):
-            base = b * ray_rows
+        def run_bin(b, j):
             # Ray rows replicated to (8, 128) once per bin (Mosaic-safe
-            # concat) -- reused by every triangle group.
+            # concat) -- reused by every triangle group. dirs_ref is the
+            # (3, bpg * ray_rows, 128) block of this grid step: static.
             drep = []
             for r in range(ray_rows):
-                dx = rep_rows(dirs_ref[pl.ds(base + r, 1), :], GPT)
-                dy = rep_rows(dirs_ref[pl.ds(nrd + base + r, 1), :], GPT)
-                dz = rep_rows(dirs_ref[pl.ds(2 * nrd + base + r, 1), :], GPT)
+                dx = rep_rows(dirs_ref[0, pl.ds(j * ray_rows + r, 1), :],
+                              GPT)
+                dy = rep_rows(dirs_ref[1, pl.ds(j * ray_rows + r, 1), :],
+                              GPT)
+                dz = rep_rows(dirs_ref[2, pl.ds(j * ray_rows + r, 1), :],
+                              GPT)
                 drep.append((dx, dy, dz))
             accs = [(jnp.full(shape, 1.0, jnp.float32) * tx,
                      jnp.full(shape, -1, jnp.int32),
@@ -281,10 +449,8 @@ def _make_dense_kernel(n_bins: int, ray_rows: int, ez_chunk: int,
                      jnp.zeros(shape, jnp.float32))
                     for _ in range(ray_rows)]
 
-            def tile_tris(w, accs):
-                tt = rows_ref[pl.ds(jnp.minimum(w, n_tiles - 1) * GPT,
-                                    GPT), :]
-                for g in range(GROUPS):
+            def tile_tris_arr(tt, accs):
+                for g in range(groups):
                     c = lambda k: tt[:, CPL * g + k: CPL * g + k + 1]
                     v0x, v0y, v0z = c(0), c(1), c(2)
                     e1x, e1y, e1z = c(3), c(4), c(5)
@@ -329,12 +495,36 @@ def _make_dense_kernel(n_bins: int, ray_rows: int, ez_chunk: int,
                     accs = new
                 return accs
 
+            def tile_tris(w, accs):
+                tt = rows_ref[pl.ds(jnp.minimum(w, n_tiles - 1) * GPT,
+                                    GPT), :]
+                return tile_tris_arr(tt, accs)
+
             def walk(w0, w1, accs):
                 if ez_chunk == 0:
-                    def fbody(k, accs):
-                        return tile_tris(w0 + k, accs)
+                    if tpv == 1:
+                        def fbody(k, accs):
+                            return tile_tris(w0 + k, accs)
 
-                    return jax.lax.fori_loop(0, w1 - w0, fbody, accs)
+                        return jax.lax.fori_loop(0, w1 - w0, fbody, accs)
+
+                    # tpv tiles per loop trip behind ONE dynamic load
+                    # (the r4 bisect priced the per-visit fixed cost --
+                    # dominated by the dynamic tt load -- at ~460 ns vs
+                    # ~12 ns per 8-tri MT group, so fewer/bigger loads
+                    # win). The base clamp can re-test earlier tiles:
+                    # idempotent under the lexicographic min.
+                    def fbody(k, accs):
+                        base = jnp.minimum((w0 + k * tpv) * GPT,
+                                           (n_tiles - tpv) * GPT)
+                        tt_big = rows_ref[pl.ds(base, tpv * GPT), :]
+                        for i in range(tpv):
+                            accs = tile_tris_arr(
+                                tt_big[i * GPT:(i + 1) * GPT], accs)
+                        return accs
+
+                    trips = (w1 - w0 + tpv - 1) // tpv
+                    return jax.lax.fori_loop(0, trips, fbody, accs)
 
                 def wcond(c):
                     w, accs, live = c
@@ -362,11 +552,15 @@ def _make_dense_kernel(n_bins: int, ray_rows: int, ez_chunk: int,
 
             if g_prefix:
                 accs = walk(jnp.int32(0), gref[0], accs)
-            accs = walk(row0_ref[b], row1_ref[b], accs)
+            if probe == "nowalk":
+                accs = walk(row0_ref[b], row0_ref[b], accs)
+            else:
+                accs = walk(row0_ref[b], row1_ref[b], accs)
 
             # Lexicographic 8 -> 1 sublane reduction per ray row
-            # (axis-0 rolls are Mosaic-safe), then one (1, 128) result
-            # row per 128 rays.
+            # (axis-0 rolls are Mosaic-safe): one (1, 128) result row per
+            # 128 rays, returned for the block-level static store.
+            rows_out = []
             for r, hs in enumerate(accs):
                 cur = hs
                 sh = GPT // 2
@@ -377,23 +571,30 @@ def _make_dense_kernel(n_bins: int, ray_rows: int, ez_chunk: int,
                     cur = tuple(jnp.where(take, rl[i], cur[i])
                                 for i in range(4))
                     sh //= 2
-                out_t[pl.ds(base + r, 1), :] = cur[0][0:1]
-                out_id[pl.ds(base + r, 1), :] = cur[1][0:1]
-                out_u[pl.ds(base + r, 1), :] = cur[2][0:1]
-                out_v[pl.ds(base + r, 1), :] = cur[3][0:1]
-            return 0
+                rows_out.append(tuple(a[0:1] for a in cur))
+            return rows_out
 
-        jax.lax.fori_loop(0, n_bins, bin_body, 0)
+        g = pl.program_id(0)
+        res = []
+        for j in range(bpg):
+            res += run_bin(g * bpg + j, j)
+        tile = [jnp.concatenate([rr_[i] for rr_ in res], axis=0)
+                for i in range(4)]
+        out_t[:, :] = tile[0]
+        out_id[:, :] = tile[1]
+        out_u[:, :] = tile[2]
+        out_v[:, :] = tile[3]
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bins", "ray_rows", "ez_chunk", "interpret"))
+    static_argnames=("n_bins", "ray_rows", "ez_chunk", "interpret",
+                     "probe", "tpv"))
 def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
                      n_bins: int, ray_rows: int, ez_chunk: int = 4,
-                     interpret: bool = False):
+                     interpret: bool = False, probe=None, tpv: int = 1):
     """Trace prepped dense tiles. dirs: (3 * n_bins * ray_rows, 128) f32
     component-stacked dirs in Morton slot order; scalars: (8,) f32
     [ox, oy, oz, tmin, tmax, 0, 0, 0]. Returns (tri, t, u, v) flat
@@ -401,24 +602,40 @@ def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
     nrd = n_bins * ray_rows
     n_tiles = rows.shape[0] // GPT
     g_prefix = g_r1 is not None
+    # Bins per grid step: each step's result block is >= 8 sublanes so
+    # the static block store is tile-aligned.
+    bpg = max(8 // ray_rows, 1)
+    if n_bins % bpg:
+        bpg = 1
+    brows = bpg * ray_rows
     params = {}
     if not interpret:
         table_bytes = (rows.shape[0] + dirs.shape[0] + 4 * nrd) * 128 * 4
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=min(table_bytes + (16 << 20), 127 << 20))
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    args = [scalars, row0, row1]
-    in_specs = [sspec, sspec, sspec]
+    dirs3 = dirs.reshape(3, nrd, 128)
+    # Bin walk ranges ride scalar prefetch (i32); the f32 ray scalars
+    # ride a plain SMEM operand (scalar bitcast is not Mosaic-legal).
+    pref = [row0, row1]
     if g_prefix:
-        args.append(g_r1)
-        in_specs.append(sspec)
-    args += [rows, dirs]
-    in_specs += [vspec, vspec]
+        pref.append(g_r1)
+    npf = len(pref)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dirs_spec = pl.BlockSpec((3, brows, 128),
+                             lambda g, *_: (0, g, 0),
+                             memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((brows, 128), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_dense_kernel(n_bins, ray_rows, ez_chunk, n_tiles, g_prefix),
-        in_specs=in_specs,
-        out_specs=[vspec] * 4,
+        _make_dense_kernel(n_bins, ray_rows, ez_chunk, n_tiles, g_prefix,
+                           bpg, probe, tpv=max(min(tpv, n_tiles), 1)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=npf,
+            grid=(n_bins // bpg,),
+            in_specs=[sspec, table_spec, dirs_spec],
+            out_specs=[ospec] * 4,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((nrd, 128), jnp.float32),
             jax.ShapeDtypeStruct((nrd, 128), jnp.int32),
@@ -427,7 +644,7 @@ def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
         ],
         interpret=interpret,
         **params,
-    )(*args)
+    )(*pref, scalars, rows, dirs3)
     t = out[0].reshape(-1)
     tri = out[1].reshape(-1)
     return tri, t, out[2].reshape(-1), out[3].reshape(-1)
@@ -439,8 +656,9 @@ def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
 
 def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
                         ez_chunk=4, interpret=False, p_max=None,
-                        k_slots=8, g_max=None, k2_slots=64):
-    """Primary-ray closest-hit over the full camera grid (dense engine).
+                        k_cap=64, tpv=1):
+    """Primary-ray closest-hit over the full camera grid (dense engine,
+    v3 prep).
 
     verts_dev: (n, 3, 3) f32 device triangle vertices. cam: raygen
     camera_arrays dict. dirn: (W*H, 3) normalized dirs in Morton slot
@@ -456,7 +674,7 @@ def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
     ray_rows = rays_per_bin // 128
     txn, tyn = width // tile, height // tile
     nb = txn * tyn
-    z_bits = 19
+    z_bits = 12
     mcodes_np = bin_mcodes(txn, tyn, 31 - z_bits)
     dirs = jnp.transpose(dirn).reshape(3 * nb * ray_rows, 128)
     scalars = jnp.concatenate([
@@ -466,19 +684,16 @@ def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
     ])
     total, n_mid, n_g = (int(x) for x in count_pairs_dense(
         verts_dev, cam, width=width, height=height, tile=tile,
-        k_slots=k_slots, k2_slots=k2_slots))
+        k_slots=k_cap, k2_slots=k_cap))
     if p_max is None:
-        p_max = pick_quant(total, TPT, 8 * TPT)
-    if g_max is None:
-        g_max = pick_quant(n_mid + n_g, TPT, 16 * TPT)
-    g2_max = pick_quant(n_g, TPT, 2 * TPT)
-    rows, row0, row1, g_r1, ok = binraster_prep_dense(
+        p_max = pick_quant(total + n_mid, TPT, 8 * TPT)
+    g2_max = pick_quant(n_g, TPT, TPT) if n_g else 0
+    rows, row0, row1, g_r1, ok = binraster_prep_dense3(
         verts_dev, cam, jnp.asarray(mcodes_np), width=width, height=height,
-        tile=tile, k_slots=k_slots, g_max=g_max, p_max=p_max,
-        k2_slots=k2_slots, g2_max=g2_max, z_bits=z_bits)
+        tile=tile, k_cap=k_cap, p_max=p_max, g2_max=g2_max, z_bits=z_bits)
     tri, t, u, v = trace_dense_rows(
         rows, row0, row1, dirs, scalars, g_r1,
         n_bins=nb, ray_rows=ray_rows, ez_chunk=ez_chunk,
-        interpret=interpret)
+        interpret=interpret, tpv=tpv)
     # Static-bucket overflow poisons hits (-2): loud, never silent.
     return jnp.where(ok, tri, -2), t, u, v

@@ -85,6 +85,40 @@ for rec in br:
 if br_best is not None and br_best["primary_mrays"] > best["mrays"]:
     best.update(br_best)
 
+# Dense-lane (v2) bin-raster engine: same golden-gated promotion rule.
+# v2-prep cfg keys are t<tile>_ez<ez> (results_binraster_dense.json,
+# "full" + "golden" record pairs); v3-prep keys are
+# t<tile>_ez<ez>_tpv<tpv>_prep3 (results_r4_dense3.json, "fullframe3"
+# records carrying their own golden fields).
+bd = []
+for src in ("results_binraster_dense.json", "results_r4_dense3.json"):
+    try:
+        with open(os.path.join(root, src)) as f:
+            bd += [json.loads(line) for line in f if line.strip()]
+    except OSError:
+        pass
+bd_golden_ok = {rec.get("cfg") for rec in bd
+                if (rec.get("stage") == "golden" and rec.get("match"))
+                or (rec.get("stage") == "fullframe3"
+                    and rec.get("golden_match"))}
+bd_best = None
+for rec in bd:
+    if rec.get("stage") not in ("full", "fullframe3") or "mrays" not in rec:
+        continue
+    m = re.match(r"t(\d+)_ez(\d+)(?:_tpv(\d+)_prep3)?$", rec.get("cfg", ""))
+    if not m or rec.get("cfg") not in bd_golden_ok:
+        continue
+    cand = dict(primary_engine="binraster_dense", br2_tile=int(m.group(1)),
+                br2_ez=int(m.group(2)), br2_tpv=int(m.group(3) or 1),
+                primary_mrays=rec["mrays"], primary_source=rec["cfg"])
+    if bd_best is None or cand["primary_mrays"] > bd_best["primary_mrays"]:
+        bd_best = cand
+if bd_best is not None and bd_best["primary_mrays"] > max(
+        best["mrays"], best.get("primary_mrays", 0.0)):
+    for k in ("br_k", "br_unroll", "br_ez"):
+        best.pop(k, None)
+    best.update(bd_best)
+
 out = os.path.join(root, "tuned.json")
 with open(out, "w") as f:
     json.dump(best, f, indent=2)

@@ -72,6 +72,24 @@ def test_dense_overflow_poisons():
     assert (tri == -2).all()
 
 
+def test_renderer_dense_engine_matches_stack2():
+    # engine="binraster_dense" plugs the v2 screen-space primary engine
+    # into the renderer; the frame must be pixel-identical to stack2.
+    from ntrace_tpu.core import BuildConfig, RenderConfig
+    from ntrace_tpu.render.renderer import render_frame
+    from ntrace_tpu.scenes import default_camera, get_scene
+
+    scene = get_scene("conference", n_tris=2000)
+    cam = default_camera("conference")
+    bc = BuildConfig(builder="binned_sah")
+    a = render_frame(scene, cam, build_cfg=bc, cfg=RenderConfig(
+        width=64, height=64, mode="primary",
+        engine="binraster_dense")).image
+    b = render_frame(scene, cam, build_cfg=bc, cfg=RenderConfig(
+        width=64, height=64, mode="primary", engine="stack2")).image
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_dense_matches_v1_bit_exact():
     # Same soup, same camera, same 32px bins: v2 must agree with v1 on
     # tri ids AND t/u/v bits (both implement packet_pallas MT op order).
