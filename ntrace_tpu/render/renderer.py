@@ -834,11 +834,12 @@ class Renderer:
             "dense": True, "width": width, "height": height,
             "nb": txn * tyn, "tile": tile, "ray_rows": tile * tile // 128,
             "k_cap": k_cap, "z_bits": z_bits,
-            "p_max": _bd.pick_quant(total + n_mid, _bd.TPT, 8 * _bd.TPT),
-            "g2_max": (_bd.pick_quant(n_g, _bd.TPT, _bd.TPT)
+            "p_max": _bd.pick_cap(total + n_mid, 16 * _bd.TPT),
+            "g2_max": (_bd.pick_cap(n_g, _bd.TPT, pad=_bd.TPT)
                        if n_g else 0),
             "ez_chunk": int(tuned.get("br2_ez", 0)),
             "tpv": int(tuned.get("br2_tpv", 1)),
+            "sort_mode": str(tuned.get("br2_sort", "s11")),
             "mcodes": jnp.asarray(mcodes),
             "cam_pos": np.asarray(cam["pos"], np.float32),
         }
@@ -861,7 +862,8 @@ class Renderer:
         out = jax.block_until_ready(_bd.binraster_prep_dense3(
             self._br_verts, cam, c["mcodes"], width=c["width"],
             height=c["height"], tile=c["tile"], k_cap=c["k_cap"],
-            p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"]))
+            p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"],
+            sort_mode=c["sort_mode"]))
         c["frozen"] = out
         return _time.time() - t0
 
@@ -877,7 +879,8 @@ class Renderer:
             rows, r0, r1, g1, ok = _bd.binraster_prep_dense3(
                 veff, cam, c["mcodes"], width=c["width"],
                 height=c["height"], tile=c["tile"], k_cap=c["k_cap"],
-                p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"])
+                p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"],
+                sort_mode=c["sort_mode"])
         dirs = jnp.transpose(dirn).reshape(3 * c["nb"] * c["ray_rows"], 128)
         scalars = jnp.concatenate([
             cam["pos"].astype(jnp.float32),

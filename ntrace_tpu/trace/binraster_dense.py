@@ -79,6 +79,21 @@ def pick_quant(total: int, quantum: int, floor: int, slack: float = 1.15,
     return cap
 
 
+def pick_cap(total: int, quantum: int, slack: float = 1.05,
+             pad: int = 1024) -> int:
+    """Near-exact static capacity: ceil(total * slack + pad) to quantum.
+
+    Every prep op (sort / gather / scatter / pack) and the kernel table
+    scale with the cap, so the dense path sizes tightly (the geometric
+    pick_quant bucket averaged ~27% padding = ~27% prep tax) and re-arms
+    -- one recount + recompile -- when a camera swing pushes the pair
+    count past the slack. Coarse `quantum` keeps the jit cache from
+    fragmenting across small drifts."""
+    cap = int(total * slack) + pad
+    cap += (-cap) % quantum
+    return max(cap, quantum)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile", "k_slots", "k2_slots"))
@@ -289,9 +304,10 @@ def binraster_prep_dense(verts, cam, mcodes, *, width, height, tile,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile", "p_max", "k_cap",
-                     "g2_max", "z_bits"))
+                     "g2_max", "z_bits", "sort_mode"))
 def binraster_prep_dense3(verts, cam, mcodes, *, width, height, tile,
-                          p_max, k_cap=64, g2_max=0, z_bits=12):
+                          p_max, k_cap=64, g2_max=0, z_bits=12,
+                          sort_mode="s11"):
     """Gather-free compact-sort prep (v3). Same output contract and
     exactness argument as binraster_prep_dense: (rows, row0, row1, g_r1,
     ok) dense-lane tiles; bins only cull, pad rows carry tid=-1, lex
@@ -345,14 +361,23 @@ def binraster_prep_dense3(verts, cam, mcodes, *, width, height, tile,
           | _part1by1(jnp, bx)).astype(jnp.int32)
     key = jnp.where(valid, (mc << z_bits) | zbp, SENT)
 
-    srt = jax.lax.sort(
-        (key,) + tuple(G[:, c] for c in range(9)) + (tri_of_p,),
-        num_keys=1)
-    skey = srt[0]
+    # Payload movement A/B (r4 device pricing): "s11" carries the 9
+    # vert-bit channels + tid through the sort; "sg" sorts (key, iota)
+    # and moves payload with one post-sort (p, 10)-row gather.
+    if sort_mode == "sg":
+        skey, perm = jax.lax.sort((key, p), num_keys=1)
+        G2 = jnp.concatenate([G[:, :9], tri_of_p[:, None]], axis=1)[perm]
+        paych = [G2[:, c] for c in range(9)] + [G2[:, 9]]
+    else:
+        srt = jax.lax.sort(
+            (key,) + tuple(G[:, c] for c in range(9)) + (tri_of_p,),
+            num_keys=1)
+        skey = srt[0]
+        paych = list(srt[1:])
     svalid = skey != SENT
     lanes = jnp.stack(
-        [jax.lax.bitcast_convert_type(b, jnp.float32) for b in srt[1:10]]
-        + [jnp.where(svalid, srt[10], -1).astype(jnp.float32)], axis=1)
+        [jax.lax.bitcast_convert_type(b, jnp.float32) for b in paych[:9]]
+        + [jnp.where(svalid, paych[9], -1).astype(jnp.float32)], axis=1)
     zdec = jax.lax.bitcast_convert_type(
         (skey & zmask) << zshift, jnp.float32)
     zdec = jnp.where(svalid, zdec, INF)
@@ -686,8 +711,8 @@ def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
         verts_dev, cam, width=width, height=height, tile=tile,
         k_slots=k_cap, k2_slots=k_cap))
     if p_max is None:
-        p_max = pick_quant(total + n_mid, TPT, 8 * TPT)
-    g2_max = pick_quant(n_g, TPT, TPT) if n_g else 0
+        p_max = pick_cap(total + n_mid, 16 * TPT)
+    g2_max = pick_cap(n_g, TPT, pad=TPT) if n_g else 0
     rows, row0, row1, g_r1, ok = binraster_prep_dense3(
         verts_dev, cam, jnp.asarray(mcodes_np), width=width, height=height,
         tile=tile, k_cap=k_cap, p_max=p_max, g2_max=g2_max, z_bits=z_bits)

@@ -40,3 +40,34 @@ def trace_cpu_golden(flat: FlatBVH, orig, dirn, tmin, tmax,
     miss = state.hit_tri < 0
     t_out = np.where(miss, np.float32(np.inf), state.hit_t)
     return HitRecord(state.hit_tri, t_out, state.hit_u, state.hit_v)
+
+
+def golden_mismatches(tri_dev, t_dev, tri_gold, t_gold,
+                      ulps: int = 4) -> int:
+    """Tie-aware full-frame golden compare (SURVEY.md SS5 image-exact).
+
+    A differing hit id counts as a mismatch only when the hit distances
+    also differ by more than `ulps` float32 ulps. Rays crossing a shared
+    mesh edge hit two triangles at the same point; engines that visit
+    them in a different order than the CPU's BVH walk legitimately
+    return the other id with t equal to within 1-2 ulp (round-4 diag of
+    the dense engine's 8/786432 conference residue: every one a
+    shared-edge tie, u or v exactly on the edge, rel t gap <= 3e-7 --
+    scripts/r4_dense_golden_diag.py). Misses (-1 / poison -2) never tie.
+
+    The ulp distance is the difference of the int32 bit patterns, exact
+    for same-sign finite floats (hit distances are positive).
+    """
+    tri_dev = np.asarray(tri_dev)
+    tri_gold = np.asarray(tri_gold)
+    t_dev = np.asarray(t_dev, np.float32)
+    t_gold = np.asarray(t_gold, np.float32)
+    diff = tri_dev != tri_gold
+    both = (tri_dev >= 0) & (tri_gold >= 0)
+    fin = np.isfinite(t_dev) & np.isfinite(t_gold)
+    bits = np.zeros(tri_dev.shape, np.int64)
+    np.subtract(t_dev.view(np.int32).astype(np.int64),
+                t_gold.view(np.int32).astype(np.int64), out=bits,
+                where=fin)
+    tie = both & fin & (np.abs(bits) <= ulps)
+    return int((diff & ~tie).sum())

@@ -18,7 +18,8 @@ Round-4 protocol unification (VERDICT r3 #2/#3/#4/#8):
     is kept as build_wall_s with a warmup call first.
   * Full-frame device golden per config: every primary ray of the
     1024x768 frame traced on device and compared to the CPU golden
-    tracer (tie-aware: different tri at bit-identical t is a tie).
+    tracer (tie-aware: a different tri id with t within 4 f32 ulps is a
+    shared-edge tie, trace/cpu.py golden_mismatches).
     Adaptive cap: scenes whose CPU golden extrapolates > ~10 min gate on
     a 65,536-ray stride sample instead (recorded in golden_sampled).
 
@@ -235,7 +236,8 @@ for name, n, builder, extra, modes, samples in CONFIGS:
 
         # ---- Full-frame device golden (tie-aware) --------------------
         try:
-            from ntrace_tpu.trace.cpu import trace_cpu_golden
+            from ntrace_tpu.trace.cpu import (golden_mismatches,
+                                              trace_cpu_golden)
 
             gflat = r.flat if r.flat is not None else flat
             o = np.asarray(batch.orig)
@@ -254,7 +256,7 @@ for name, n, builder, extra, modes, samples in CONFIGS:
             rec = trace_cpu_golden(gflat, o[sub], d[sub], tn[sub], tx[sub])
             tri_dev = np.asarray(tri0)[sub]
             t_dev = np.asarray(t0_)[sub]
-            mism = int(((tri_dev != rec.tri) & (t_dev != rec.t)).sum())
+            mism = golden_mismatches(tri_dev, t_dev, rec.tri, rec.t)
             results.append(dict(scene=name, builder=builder,
                                 golden_sampled=int(len(sub)),
                                 golden_mismatches=mism,

@@ -186,3 +186,31 @@ class TestStack2Engine:
         r2 = render_frame(scene, cfg=RenderConfig(width=48, height=32, engine="stack2"))
         np.testing.assert_array_equal(r1.hit_tri, r2.hit_tri)
         np.testing.assert_array_equal(r1.image, r2.image)
+
+
+class TestGoldenCompare:
+    def test_tie_aware_mismatch_count(self):
+        from ntrace_tpu.trace.cpu import golden_mismatches
+
+        t_g = np.float32([1.0, 2.0, 3.0, 4.0, np.inf, 5.0])
+        # within-4-ulp perturbations of the finite entries
+        t_d = t_g.copy()
+        for i in (0, 1, 2, 3):
+            for _ in range(2):
+                t_d[i] = np.nextafter(t_d[i], np.float32(1e9))
+        tri_g = np.int32([1, 2, 3, 4, -1, 6])
+        tri_d = np.int32([1, 9, 3, 4, 5, 6])
+        # tri 9 vs 2 at t within 2 ulp -> shared-edge tie, not a mismatch
+        # tri 5 vs miss -> mismatch regardless of t
+        assert golden_mismatches(tri_d, t_d, tri_g, t_g) == 1
+        # same ids always match even when t drifts
+        t_far = t_g * np.float32(1.5)
+        assert golden_mismatches(tri_g, t_far, tri_g, t_g) == 0
+        # differing id with t beyond the ulp window is a real mismatch
+        t_d2 = t_g.copy()
+        t_d2[1] = np.float32(2.001)
+        assert golden_mismatches(tri_d, t_d2, tri_g, t_g) == 2
+        # poison (-2) never ties
+        tri_p = tri_g.copy()
+        tri_p[0] = -2
+        assert golden_mismatches(tri_p, t_g, tri_g, t_g) == 1
