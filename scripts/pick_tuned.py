@@ -91,7 +91,8 @@ if br_best is not None and br_best["primary_mrays"] > best["mrays"]:
 # t<tile>_ez<ez>_tpv<tpv>_prep3 (results_r4_dense3.json, "fullframe3"
 # records carrying their own golden fields).
 bd = []
-for src in ("results_binraster_dense.json", "results_r4_dense3.json"):
+for src in ("results_binraster_dense.json", "results_r4_dense3.json",
+            "results_r4_dense5.json"):
     try:
         with open(os.path.join(root, src)) as f:
             bd += [json.loads(line) for line in f if line.strip()]
@@ -99,18 +100,22 @@ for src in ("results_binraster_dense.json", "results_r4_dense3.json"):
         pass
 bd_golden_ok = {rec.get("cfg") for rec in bd
                 if (rec.get("stage") == "golden" and rec.get("match"))
-                or (rec.get("stage") == "fullframe3"
+                or (rec.get("stage") in ("fullframe3", "fullframe5")
                     and rec.get("golden_match"))}
 bd_best = None
 for rec in bd:
-    if rec.get("stage") not in ("full", "fullframe3") or "mrays" not in rec:
+    if (rec.get("stage") not in ("full", "fullframe3", "fullframe5")
+            or "mrays" not in rec):
         continue
-    m = re.match(r"t(\d+)_ez(\d+)(?:_tpv(\d+)_prep3)?$", rec.get("cfg", ""))
+    m = re.match(r"t(\d+)_ez(\d+)(?:_tpv(\d+)_prep3(sg|s11)?)?$",
+                 rec.get("cfg", ""))
     if not m or rec.get("cfg") not in bd_golden_ok:
         continue
     cand = dict(primary_engine="binraster_dense", br2_tile=int(m.group(1)),
                 br2_ez=int(m.group(2)), br2_tpv=int(m.group(3) or 1),
                 primary_mrays=rec["mrays"], primary_source=rec["cfg"])
+    if m.group(4):   # session-5 payload-movement A/B (prep v3 sort mode)
+        cand["br2_sort"] = m.group(4)
     if bd_best is None or cand["primary_mrays"] > bd_best["primary_mrays"]:
         bd_best = cand
 if bd_best is not None and bd_best["primary_mrays"] > max(
