@@ -115,7 +115,11 @@ def main():
                 # The renderer's primary path (depth-prepass tmax seeding
                 # with exact fixup on packet engines) -- the headline
                 # measures what render() actually runs.
-                tri, t, u, v = r.trace_primary(o, d, tn2, tx, cam=ca)
+                # canonical=True: the batch IS raygen.primary(ca)'s output
+                # and inside jit the contract reduce cannot run (it would
+                # silently fall back to the BVH path).
+                tri, t, u, v = r.trace_primary(o, d, tn2, tx, cam=ca,
+                                               canonical=True)
                 acc = acc + jnp.where(tri >= 0, t, 0.0).sum()
                 tn2 = tn + 1e-12 * acc   # serialize the frames
             return acc, tri

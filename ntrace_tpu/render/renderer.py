@@ -917,7 +917,8 @@ class Renderer:
             interpret=jax.default_backend() == "cpu")
         return jnp.where(ok, tri, -2), t, u, v
 
-    def trace_primary(self, orig, dirn, tmin, tmax, cam=None):
+    def trace_primary(self, orig, dirn, tmin, tmax, cam=None,
+                      canonical=None):
         """Primary-ray closest-hit trace with the configured seeding policy
         (shared by render() and bench.py so the headline measures the same
         path users get). cam: optional camera_arrays dict -- required for
@@ -927,12 +928,21 @@ class Renderer:
         primary rays -- orig == cam['pos'] for every ray, uniform
         tmin == znear and uniform tmax (raygen.primary's output). Calls
         with per-ray tmin/tmax or non-camera origins are routed to the
-        BVH path below, whose semantics are fully general."""
+        BVH path below, whose semantics are fully general.
+
+        canonical: None = verify the contract with one device reduce
+        (impossible on traced inputs, where the check declines binraster).
+        Callers that BUILT the batch via raygen.primary(cam) may pass
+        True to assert it -- the only way to reach the screen-space
+        engine from inside an enclosing jit (render(), bench.py and the
+        matrix all do). False forces the general BVH path."""
         if (cam is not None
+                and canonical is not False
                 and self.primary_engine in ("binraster", "binraster_dense")
                 and getattr(self, "_br", None) is not None
                 and dirn.shape[0] == self._br["width"] * self._br["height"]
-                and self._binraster_contract_ok(orig, tmin, tmax, cam)):
+                and (canonical is True
+                     or self._binraster_contract_ok(orig, tmin, tmax, cam))):
             if self._br.get("dense"):
                 return self._trace_binraster_dense(dirn, tmin, tmax, cam)
             return self._trace_binraster(dirn, tmin, tmax, cam)
@@ -1024,8 +1034,11 @@ class Renderer:
             jax.block_until_ready(batch.dirn)
         self.prepare_primary(cam, W, H)
         with timer.stage("trace_primary"):
+            # The batch was just built by raygen.primary(cam): canonical
+            # by construction, so assert the bin-raster contract.
             tri, t, u, v = self.trace_primary(
-                batch.orig, batch.dirn, batch.tmin, batch.tmax, cam=cam)
+                batch.orig, batch.dirn, batch.tmin, batch.tmax, cam=cam,
+                canonical=True)
             jax.block_until_ready(t)
         timer.count("rays_primary", batch.num_rays)
 

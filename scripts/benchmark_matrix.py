@@ -172,7 +172,10 @@ for name, n, builder, extra, modes, samples in CONFIGS:
                 acc = jnp.float32(0)
                 tn2 = tn
                 for _ in range(k):
-                    tri, t, u, v = r.trace_primary(o, d, tn2, tx, cam=ca)
+                    # canonical=True: batch built by raygen.primary(ca);
+                    # traced inputs can't pass the contract reduce.
+                    tri, t, u, v = r.trace_primary(o, d, tn2, tx, cam=ca,
+                                                   canonical=True)
                     acc = acc + jnp.where(tri >= 0, t, 0.0).sum()
                     tn2 = tn + 1e-12 * acc
                 return acc

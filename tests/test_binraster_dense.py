@@ -113,3 +113,39 @@ def test_dense_matches_v1_bit_exact():
                                   np.asarray(tt1)[hit])
     np.testing.assert_array_equal(np.asarray(u2)[hit], np.asarray(u1)[hit])
     np.testing.assert_array_equal(np.asarray(v2)[hit], np.asarray(v1)[hit])
+
+
+def test_trace_primary_canonical_inside_jit():
+    # Regression (round 4): bench.py's chained jit calls trace_primary on
+    # TRACED inputs, where the contract reduce cannot run -- without the
+    # canonical=True assertion the renderer silently fell back to the BVH
+    # path and the headline measured the wrong engine. The armed dense
+    # path must engage inside jit and match the eager trace exactly.
+    import jax
+
+    from ntrace_tpu.core import BuildConfig, RenderConfig
+    from ntrace_tpu.render.renderer import Renderer, build_accel
+    from ntrace_tpu.scenes import default_camera, get_scene
+
+    W = H = 64
+    scene = get_scene("conference", n_tris=2000)
+    bc = BuildConfig(builder="binned_sah")
+    flat = build_accel(scene, bc, use_cache=False)
+    r = Renderer(scene, bc, RenderConfig(
+        width=W, height=H, mode="primary", engine="binraster_dense"),
+        flat=flat)
+    ca = camera_arrays(default_camera("conference"), W, H)
+    order, _ = pixel_table(W, H)
+    rb = primary(ca, W, H, order)
+    assert r.prepare_primary(ca, W, H)
+
+    eager = r.trace_primary(rb.orig, rb.dirn, rb.tmin, rb.tmax, cam=ca)
+
+    @jax.jit
+    def run(o, d, tn, tx):
+        return r.trace_primary(o, d, tn, tx, cam=ca, canonical=True)
+
+    jitted = run(rb.orig, rb.dirn, rb.tmin, rb.tmax)
+    for a, b in zip(eager, jitted):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (np.asarray(jitted[0]) >= 0).sum() > 1000
