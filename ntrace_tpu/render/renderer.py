@@ -75,6 +75,18 @@ def _load_tuned() -> dict:
         return {}
 
 
+def _cam_fingerprint(cam: dict):
+    """Hashable snapshot of every camera array, or None when any entry is
+    a tracer (inside someone else's jit, where values can't be read)."""
+    if any(isinstance(v, jax.core.Tracer) for v in cam.values()):
+        return None
+    try:
+        return tuple((k, np.asarray(v, np.float32).tobytes())
+                     for k, v in sorted(cam.items()))
+    except (TypeError, ValueError, jax.errors.ConcretizationTypeError):
+        return None
+
+
 def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
                           lu: int, rows: int, interpret: bool,
                           tuned_kw: dict, dmin: int):
@@ -845,6 +857,20 @@ class Renderer:
         }
         return True
 
+    def _dense_prep(self, verts, cam):
+        """Run the armed dense prep (v3 sg/s11 or v4 per the br2_sort
+        knob) with the armed static caps."""
+        from ntrace_tpu.trace import binraster_dense as _bd
+
+        c = self._br
+        kw = dict(width=c["width"], height=c["height"], tile=c["tile"],
+                  k_cap=c["k_cap"], p_max=c["p_max"], g2_max=c["g2_max"],
+                  z_bits=c["z_bits"])
+        if c["sort_mode"] == "v4":
+            return _bd.binraster_prep_dense4(verts, cam, c["mcodes"], **kw)
+        return _bd.binraster_prep_dense3(verts, cam, c["mcodes"],
+                                         sort_mode=c["sort_mode"], **kw)
+
     def freeze_primary_structure(self, cam: dict) -> float:
         """Build the dense engine's screen-space structure ONCE, eagerly,
         and pin it for subsequent trace_primary calls -- the analogue of
@@ -859,28 +885,34 @@ class Renderer:
 
         c = self._br
         t0 = _time.time()
-        out = jax.block_until_ready(_bd.binraster_prep_dense3(
-            self._br_verts, cam, c["mcodes"], width=c["width"],
-            height=c["height"], tile=c["tile"], k_cap=c["k_cap"],
-            p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"],
-            sort_mode=c["sort_mode"]))
+        out = jax.block_until_ready(self._dense_prep(self._br_verts, cam))
         c["frozen"] = out
+        # Staleness guard (round-4 VERDICT weak-5): the frozen rows pin
+        # THIS camera's binning; a rotated camera at the same position
+        # would pass the origin/tmin contract but trace stale bins.
+        # Fingerprint every camera array so trace_primary can verify.
+        c["frozen_fp"] = _cam_fingerprint(cam)
         return _time.time() - t0
 
     def _trace_binraster_dense(self, dirn, tmin, tmax, cam):
         from ntrace_tpu.trace import binraster_dense as _bd
 
         c = self._br
-        if c.get("frozen") is not None:
-            rows, r0, r1, g1, ok = c["frozen"]
+        frozen = c.get("frozen")
+        if frozen is not None:
+            # Staleness guard: only trust the frozen structure when the
+            # camera fingerprint still matches (concrete cams only --
+            # a traced cam can't be verified, so it re-preps in-chain,
+            # which is always correct, merely slower).
+            fp = _cam_fingerprint(cam)
+            if fp is None or fp != c.get("frozen_fp"):
+                frozen = None
+        if frozen is not None:
+            rows, r0, r1, g1, ok = frozen
         else:
             # Same prep-in-the-frame-chain trick as v1 (1e-30 * tmin[0]).
             veff = self._br_verts + 1e-30 * tmin[0]
-            rows, r0, r1, g1, ok = _bd.binraster_prep_dense3(
-                veff, cam, c["mcodes"], width=c["width"],
-                height=c["height"], tile=c["tile"], k_cap=c["k_cap"],
-                p_max=c["p_max"], g2_max=c["g2_max"], z_bits=c["z_bits"],
-                sort_mode=c["sort_mode"])
+            rows, r0, r1, g1, ok = self._dense_prep(veff, cam)
         dirs = jnp.transpose(dirn).reshape(3 * c["nb"] * c["ray_rows"], 128)
         scalars = jnp.concatenate([
             cam["pos"].astype(jnp.float32),
@@ -936,6 +968,21 @@ class Renderer:
         True to assert it -- the only way to reach the screen-space
         engine from inside an enclosing jit (render(), bench.py and the
         matrix all do). False forces the general BVH path."""
+        if (canonical is True
+                and cam is not None
+                and getattr(self, "_br", None) is not None
+                and not any(isinstance(a, jax.core.Tracer)
+                            for a in (orig, tmin, tmax, *cam.values()))):
+            # ADVICE r4: trust the canonical assertion only where the
+            # check is impossible (traced inputs). On concrete inputs a
+            # violated contract is a caller bug -- fail loudly instead
+            # of silently tracing a stale screen-space structure.
+            if not self._binraster_contract_ok(orig, tmin, tmax, cam):
+                raise ValueError(
+                    "trace_primary(canonical=True): rays violate the "
+                    "bin-raster contract (orig == cam pos, uniform "
+                    "tmin == znear, uniform tmax); rebuild the batch "
+                    "with raygen.primary(cam) or pass canonical=False")
         if (cam is not None
                 and canonical is not False
                 and self.primary_engine in ("binraster", "binraster_dense")

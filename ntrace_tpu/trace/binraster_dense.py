@@ -421,6 +421,138 @@ def binraster_prep_dense3(verts, cam, mcodes, *, width, height, tile,
 
 
 # --------------------------------------------------------------------------
+# prep v4: scatter-ADD expand + single post-sort gather
+#
+# v3-sg's pair-granularity budget (r4 device bisect, ~463k pairs):
+# scatter-MAX ~2.8 ms + (n,16)-row pre-sort gather ~3.4 ms + 2-op sort
+# ~1.5 ms + (p,10)-row post-sort gather ~2.3 ms. v4 restructures to the
+# op-count floor of the sort-based family:
+#
+#   * tri_of_p via ONE scatter-ADD + cumsum instead of scatter-max +
+#     cummax: emitters scatter (i - prev_emitter_index) at their
+#     exclusive offset; the cumsum telescopes to owner+1 across every
+#     pair slot (zero-cnt tris scatter nothing via an out-of-range
+#     dropped index, and emitters have distinct offsets, so no adds
+#     collide). XLA lowers the sorted-unique-index add measurably
+#     cheaper than the max variant.
+#   * the pre-sort gather shrinks to the KEY meta only -- one (n, 4)
+#     row gather (packed rect | zb | offs); row gathers price per ROW,
+#     not per lane, so 4 lanes cost what 16 did.
+#   * the sort carries (key, tri) -- two i32 operands.
+#   * ONE post-sort (n, 16)-row gather by sorted tri index carries all
+#     nine vert-coord channels; tid IS the sorted index.
+#
+# Output contract, exactness argument and tie behavior are identical to
+# binraster_prep_dense3 (bins only cull; pad rows carry tid=-1; lex
+# (t, tri) min is visit-order invariant).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "p_max", "k_cap",
+                     "g2_max", "z_bits"))
+def binraster_prep_dense4(verts, cam, mcodes, *, width, height, tile,
+                          p_max, k_cap=64, g2_max=0, z_bits=12):
+    """Compact-sort prep v4. Same (rows, row0, row1, g_r1, ok) contract
+    as binraster_prep_dense3."""
+    n = verts.shape[0]
+    zshift = 32 - z_bits
+    zmask = (1 << z_bits) - 1
+    SENT = jnp.int32(0x7FFFFFFF)
+    tx0, tx1, ty0, ty1, cnt, zmin = _counts(
+        verts, cam, width=width, height=height, tile=tile)
+    wbin = tx1 - tx0 + 1
+    zsafe = jnp.maximum(zmin * (1.0 - Z_MARGIN), 0.0)
+    zb = ((jax.lax.bitcast_convert_type(zsafe, jnp.int32) >> zshift)
+          & zmask)
+    over2 = cnt > k_cap
+    incl = ~over2 & (cnt > 0)
+    cntc = jnp.where(incl, cnt, 0)
+    offs = jnp.cumsum(cntc) - cntc                     # exclusive
+    total = jnp.sum(cntc)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    # tri_of_p: ONE scatter-add of index deltas + cumsum (module note).
+    pe = jax.lax.cummax(jnp.where(incl, iota_n, -1))
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pe[:-1]])
+    delta = jnp.where(incl, iota_n - prev, 0)
+    offs_d = jnp.where(incl, offs, p_max)              # drop non-emitters
+    d = jnp.zeros((p_max,), jnp.int32).at[offs_d].add(delta, mode="drop")
+    tri_of_p = jnp.maximum(jnp.cumsum(d) - 1, 0)
+
+    # Key meta rides ONE (n, 4)-row gather.
+    meta = jnp.stack(
+        [tx0 | (ty0 << 10) | (wbin << 20), zb, offs,
+         jnp.zeros_like(offs)], axis=1)
+    Gm = meta[tri_of_p]                                # (p_max, 4)
+    p = jnp.arange(p_max, dtype=jnp.int32)
+    valid = p < total
+    k = p - Gm[:, 2]
+    ch1 = Gm[:, 0]
+    tx0p, ty0p = ch1 & 1023, (ch1 >> 10) & 1023
+    wp = jnp.maximum((ch1 >> 20) & 2047, 1)
+    bx = tx0p + k % wp
+    by = ty0p + k // wp
+    mc = ((_part1by1(jnp, by) << jnp.uint32(1))
+          | _part1by1(jnp, bx)).astype(jnp.int32)
+    key = jnp.where(valid, (mc << z_bits) | Gm[:, 1], SENT)
+
+    skey, stri = jax.lax.sort((key, tri_of_p), num_keys=1)
+    svalid = skey != SENT
+
+    # All nine vert channels ride ONE post-sort (n, 16)-row gather.
+    v0 = verts[:, 0]
+    cols = [v0[:, c] for c in range(3)]
+    cols += [verts[:, 1, c] - v0[:, c] for c in range(3)]
+    cols += [verts[:, 2, c] - v0[:, c] for c in range(3)]
+    tbl = jnp.stack(
+        [jax.lax.bitcast_convert_type(c, jnp.int32) for c in cols], axis=1)
+    tbl = jnp.concatenate(
+        [tbl, jnp.zeros((n, 16 - tbl.shape[1]), jnp.int32)], axis=1)
+    Gv = tbl[stri]                                     # (p_max, 16)
+    lanes = jnp.stack(
+        [jax.lax.bitcast_convert_type(Gv[:, c], jnp.float32)
+         for c in range(9)]
+        + [jnp.where(svalid, stri, -1).astype(jnp.float32)], axis=1)
+    zdec = jax.lax.bitcast_convert_type(
+        (skey & zmask) << zshift, jnp.float32)
+    zdec = jnp.where(svalid, zdec, INF)
+    rows_b = _pack_dense(skey, lanes, zdec, p_max)
+
+    sgroup = skey >> z_bits
+    gt = sgroup.reshape(p_max // TPT, TPT)
+    row0 = jnp.searchsorted(gt[:, TPT - 1], mcodes,
+                            side="left").astype(jnp.int32)
+    row1 = jnp.searchsorted(gt[:, 0], mcodes,
+                            side="right").astype(jnp.int32)
+    ok = (total <= p_max) & (jnp.sum(over2.astype(jnp.int32)) <= g2_max)
+    if g2_max == 0:
+        return rows_b, row0, row1, None, ok
+
+    # Walked global tier (z-ascending), as v3.
+    okey2 = jnp.where(over2, zb, SENT)
+    sok2, g2i = jax.lax.sort(
+        (okey2, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    g2k, g2i = sok2[:g2_max], g2i[:g2_max]
+    g2valid = g2k != SENT
+    g2v = verts[g2i]
+    g2v0 = g2v[:, 0]
+    glanes = jnp.concatenate([
+        g2v0, g2v[:, 1] - g2v0, g2v[:, 2] - g2v0,
+        jnp.where(g2valid, g2i, -1).astype(jnp.float32)[:, None],
+    ], axis=1)
+    gzdec = jax.lax.bitcast_convert_type(g2k << zshift, jnp.float32)
+    gzdec = jnp.where(g2valid, gzdec, INF)
+    grows = _pack_dense(g2k, glanes, gzdec, g2_max)
+    g_r1 = ((jnp.minimum(jnp.sum(over2.astype(jnp.int32)), g2_max)
+             + TPT - 1) // TPT)
+    gnt = g2_max // TPT
+    rows = jnp.concatenate([grows, rows_b], axis=0)
+    return (rows, row0 + gnt, row1 + gnt,
+            g_r1.reshape(1).astype(jnp.int32), ok)
+
+
+# --------------------------------------------------------------------------
 # The dense kernel
 
 
@@ -681,7 +813,7 @@ def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
 
 def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
                         ez_chunk=4, interpret=False, p_max=None,
-                        k_cap=64, tpv=1):
+                        k_cap=64, tpv=1, sort_mode="s11"):
     """Primary-ray closest-hit over the full camera grid (dense engine,
     v3 prep).
 
@@ -713,9 +845,15 @@ def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
     if p_max is None:
         p_max = pick_cap(total + n_mid, 16 * TPT)
     g2_max = pick_cap(n_g, TPT, pad=TPT) if n_g else 0
-    rows, row0, row1, g_r1, ok = binraster_prep_dense3(
-        verts_dev, cam, jnp.asarray(mcodes_np), width=width, height=height,
-        tile=tile, k_cap=k_cap, p_max=p_max, g2_max=g2_max, z_bits=z_bits)
+    kw = dict(width=width, height=height, tile=tile, k_cap=k_cap,
+              p_max=p_max, g2_max=g2_max, z_bits=z_bits)
+    if sort_mode == "v4":
+        rows, row0, row1, g_r1, ok = binraster_prep_dense4(
+            verts_dev, cam, jnp.asarray(mcodes_np), **kw)
+    else:
+        rows, row0, row1, g_r1, ok = binraster_prep_dense3(
+            verts_dev, cam, jnp.asarray(mcodes_np), sort_mode=sort_mode,
+            **kw)
     tri, t, u, v = trace_dense_rows(
         rows, row0, row1, dirs, scalars, g_r1,
         n_bins=nb, ray_rows=ray_rows, ez_chunk=ez_chunk,

@@ -98,10 +98,25 @@ for src in ("results_binraster_dense.json", "results_r4_dense3.json",
             bd += [json.loads(line) for line in f if line.strip()]
     except OSError:
         pass
-bd_golden_ok = {rec.get("cfg") for rec in bd
-                if (rec.get("stage") == "golden" and rec.get("match"))
-                or (rec.get("stage") in ("fullframe3", "fullframe5")
-                    and rec.get("golden_match"))}
+# Authoritative golden stages (tie-aware compare): a cfg is eligible only
+# if it PASSES at least one and FAILS none (ADVICE r4: a stale passing
+# record must not outvote a later authoritative failure). The raw
+# "golden_full" stage compares ids without tie-awareness -- its
+# match:false records may be pure shared-edge ulp ties
+# (results_r4_dense5.json), so it neither qualifies nor disqualifies.
+def _auth_verdict(rec):
+    if rec.get("stage") == "golden":
+        return bool(rec.get("match"))
+    if rec.get("stage") in ("fullframe3", "fullframe5"):
+        return bool(rec.get("golden_match"))
+    if rec.get("stage") == "golden_full_tieaware":
+        return bool(rec.get("match"))
+    return None
+
+
+bd_pass = {rec.get("cfg") for rec in bd if _auth_verdict(rec) is True}
+bd_fail = {rec.get("cfg") for rec in bd if _auth_verdict(rec) is False}
+bd_golden_ok = bd_pass - bd_fail
 bd_best = None
 for rec in bd:
     if (rec.get("stage") not in ("full", "fullframe3", "fullframe5")

@@ -46,6 +46,14 @@ def main():
     armed = r.prepare_primary(ca, W, H)
     print(f"[gate] primary_engine={r.primary_engine if armed else r.engine} "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)
+    # ADVICE r4: this gate exists to validate the ARMED screen-space
+    # engine (VERDICT r3 #8); golden-gating the BVH fallback would
+    # record a match:true that reads as the dense engine passing.
+    if not armed or not str(r.primary_engine).startswith("binraster"):
+        print(f"[gate] FAIL: dense engine did not arm "
+              f"(armed={armed}, primary_engine={r.primary_engine}); "
+              f"refusing to gate the fallback path", file=sys.stderr)
+        sys.exit(3)
 
     tri, t, u, v = (np.asarray(x) for x in jax.block_until_ready(
         r.trace_primary(batch.orig, batch.dirn, batch.tmin, batch.tmax,

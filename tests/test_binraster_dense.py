@@ -36,11 +36,13 @@ def _frame(W, H, campos, fwd, n_tris, seed, **kw):
     return np.asarray(tri), np.asarray(t), np.asarray(u), np.asarray(v), ref
 
 
-@pytest.mark.parametrize("tile,ez_chunk", [(16, 4), (16, 0), (32, 2)])
-def test_dense_matches_brute_force(tile, ez_chunk):
+@pytest.mark.parametrize("tile,ez_chunk,sort_mode", [
+    (16, 4, "s11"), (16, 0, "s11"), (32, 2, "s11"),
+    (16, 0, "sg"), (16, 0, "v4"), (32, 2, "v4")])
+def test_dense_matches_brute_force(tile, ez_chunk, sort_mode):
     tri, t, u, v, ref = _frame(
         64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
-        tile=tile, ez_chunk=ez_chunk)
+        tile=tile, ez_chunk=ez_chunk, sort_mode=sort_mode)
     np.testing.assert_array_equal(tri, ref.tri)
     hit = ref.tri >= 0
     assert hit.sum() > 100
@@ -55,11 +57,13 @@ def test_dense_oblique_camera():
     np.testing.assert_array_equal(tri, ref.tri)
 
 
-def test_dense_camera_inside_soup():
+@pytest.mark.parametrize("sort_mode", ["s11", "v4"])
+def test_dense_camera_inside_soup(sort_mode):
     # Near-plane crossers + geometry in every direction: exercises the
     # walked-global tier and the exact near-plane clip path.
     tri, t, u, v, ref = _frame(
-        64, 64, (0.0, 0.0, 0.0), (0.3, -0.2, -1.0), 400, 37, tile=16)
+        64, 64, (0.0, 0.0, 0.0), (0.3, -0.2, -1.0), 400, 37, tile=16,
+        sort_mode=sort_mode)
     np.testing.assert_array_equal(tri, ref.tri)
 
 
@@ -115,7 +119,32 @@ def test_dense_matches_v1_bit_exact():
     np.testing.assert_array_equal(np.asarray(v2)[hit], np.asarray(v1)[hit])
 
 
-def test_trace_primary_canonical_inside_jit():
+def _armed_dense_renderer(monkeypatch, W=64, H=64):
+    """A Renderer with the dense engine armed under a PINNED tuned config
+    (ADVICE r4: reading the repo's tuned.json would silently change the
+    exercised configuration whenever it is re-picked)."""
+    from ntrace_tpu.core import BuildConfig, RenderConfig
+    from ntrace_tpu.render import renderer as rmod
+    from ntrace_tpu.scenes import default_camera, get_scene
+
+    monkeypatch.setattr(rmod, "_load_tuned", lambda: {
+        "br2_tile": 16, "br2_ez": 0, "br2_tpv": 1, "br2_sort": "sg",
+        "br2_kcap": 64})
+    scene = get_scene("conference", n_tris=2000)
+    bc = BuildConfig(builder="binned_sah")
+    flat = rmod.build_accel(scene, bc, use_cache=False)
+    r = rmod.Renderer(scene, bc, RenderConfig(
+        width=W, height=H, mode="primary", engine="binraster_dense"),
+        flat=flat)
+    ca = camera_arrays(default_camera("conference"), W, H)
+    order, _ = pixel_table(W, H)
+    rb = primary(ca, W, H, order)
+    assert r.prepare_primary(ca, W, H)
+    assert r._br is not None and r._br.get("dense")
+    return r, ca, rb
+
+
+def test_trace_primary_canonical_inside_jit(monkeypatch):
     # Regression (round 4): bench.py's chained jit calls trace_primary on
     # TRACED inputs, where the contract reduce cannot run -- without the
     # canonical=True assertion the renderer silently fell back to the BVH
@@ -123,22 +152,7 @@ def test_trace_primary_canonical_inside_jit():
     # path must engage inside jit and match the eager trace exactly.
     import jax
 
-    from ntrace_tpu.core import BuildConfig, RenderConfig
-    from ntrace_tpu.render.renderer import Renderer, build_accel
-    from ntrace_tpu.scenes import default_camera, get_scene
-
-    W = H = 64
-    scene = get_scene("conference", n_tris=2000)
-    bc = BuildConfig(builder="binned_sah")
-    flat = build_accel(scene, bc, use_cache=False)
-    r = Renderer(scene, bc, RenderConfig(
-        width=W, height=H, mode="primary", engine="binraster_dense"),
-        flat=flat)
-    ca = camera_arrays(default_camera("conference"), W, H)
-    order, _ = pixel_table(W, H)
-    rb = primary(ca, W, H, order)
-    assert r.prepare_primary(ca, W, H)
-
+    r, ca, rb = _armed_dense_renderer(monkeypatch)
     eager = r.trace_primary(rb.orig, rb.dirn, rb.tmin, rb.tmax, cam=ca)
 
     @jax.jit
@@ -149,3 +163,46 @@ def test_trace_primary_canonical_inside_jit():
     for a, b in zip(eager, jitted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert (np.asarray(jitted[0]) >= 0).sum() > 1000
+
+
+def test_canonical_true_checked_on_concrete_inputs(monkeypatch):
+    # ADVICE r4: canonical=True on CONCRETE rays that violate the
+    # contract must raise, not silently trace a stale structure.
+    r, ca, rb = _armed_dense_renderer(monkeypatch)
+    bad_tmin = np.asarray(rb.tmin).copy()
+    bad_tmin[7] += 0.5
+    with pytest.raises(ValueError, match="canonical"):
+        r.trace_primary(rb.orig, rb.dirn, jnp.asarray(bad_tmin), rb.tmax,
+                        cam=ca, canonical=True)
+
+
+def test_freeze_structure_staleness_guard(monkeypatch):
+    # Round-4 VERDICT weak-5: a camera ROTATED in place passes the
+    # origin/tmin contract, so without a fingerprint the frozen rows
+    # would silently trace stale bins. The guard must re-prep and give
+    # the rotated frame's correct image.
+    from ntrace_tpu.core import Camera
+    from ntrace_tpu.scenes import default_camera
+
+    r, ca, rb = _armed_dense_renderer(monkeypatch)
+    r.freeze_primary_structure(ca)
+    assert r._br.get("frozen") is not None
+
+    # Rotate IN PLACE: same position (so the origin/tmin contract still
+    # holds), different view -- the frozen bins are stale for ca2. No
+    # re-arm on purpose: the guard must catch it, not the caller.
+    base = default_camera("conference")
+    cam2 = Camera(position=base.position,
+                  forward=base.forward + np.float32([0.08, 0.02, 0.0]),
+                  up=base.up, fov_deg=70, znear=base.znear,
+                  zfar=base.zfar)
+    ca2 = camera_arrays(cam2, 64, 64)
+    np.testing.assert_array_equal(np.asarray(ca["pos"]),
+                                  np.asarray(ca2["pos"]))
+    order, _ = pixel_table(64, 64)
+    rb2 = primary(ca2, 64, 64, order)
+    got = r.trace_primary(rb2.orig, rb2.dirn, rb2.tmin, rb2.tmax, cam=ca2)
+    ref = r.trace_primary(rb2.orig, rb2.dirn, rb2.tmin, rb2.tmax, cam=ca2,
+                          canonical=False)   # general BVH path
+    assert (np.asarray(got[0]) >= 0).any()
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
