@@ -260,6 +260,17 @@ class RenderConfig:
     #                            group size; grouped rows drain the union
     #                            of their wants -- superset, exact). Also
     #                            settable via tuned.json for auto engines.
+    seed_secondary: str = "auto"  # sparse-SUBSET geometry tmax seeding for
+    #                            long incoherent closest-hit bounce rays
+    #                            (diffuse/path): trace a 1/seed_subset
+    #                            triangle subset first; its hits are real
+    #                            scene hits, so each t is a true upper
+    #                            bound, and the main pass traverses with
+    #                            [tmin, nextafter(t_sub)] -- hitT pruning
+    #                            from step one, exactly the same image
+    #                            (render/renderer.py subset_seeded_trace).
+    #                            "on" | "off" | "auto" (packet engines)
+    seed_subset: int = 16  # subset stride for seed_secondary
     compact_forest: str = "auto"  # chunk-membership ray compaction in the
     #                            multi-chunk forest path (the reference's
     #                            kepler_dynamic_fetch capability, SURVEY.md

@@ -236,6 +236,30 @@ def seeded_closest_trace(tracer, orig, dirn, tmin, tmax, *, stride=16,
         for a, b in zip((tri1, t1, u1, v1), (tri2, t2, u2, v2)))
 
 
+def subset_seeded_trace(tracer, sub_tracer, orig, dirn, tmin, tmax):
+    """Closest-hit trace with a sparse-SUBSET geometry tmax seed. EXACT.
+
+    seeded_closest_trace's depth-prepass seed needs neighbour coherence
+    (screen tiles), which bounce rays don't have. But an upper bound on
+    each ray's OWN closest t comes from tracing a 1/K subset of the
+    triangles: a subset hit is a real scene hit, so t_sub >= t_closest.
+    The main pass runs with tmax' = nextafter(t_sub): every true
+    candidate has t <= t_sub < tmax', so the main pass alone returns the
+    exact closest hit INCLUDING the (t, lowest-id) tie-break -- the
+    subset triangle itself is re-found by the main pass (it is in the
+    full tables), and any same-t lower-id winner is strictly below
+    tmax'. Misses keep the original tmax. The seed only tightens the
+    per-lane hitT that the slab tests already clamp to
+    (packet_pallas._slab_child), so pruning engages from step one
+    instead of developing late in traversal -- the win on long
+    incoherent rays whose packets otherwise walk deep unions.
+    """
+    stri, st, _, _ = sub_tracer(orig, dirn, tmin, tmax, False)
+    seed = jnp.where(stri >= 0,
+                     jnp.nextafter(st, jnp.float32(np.inf)), tmax)
+    return tracer(orig, dirn, tmin, seed, False)
+
+
 def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
     """Loop the tracer over <=cap-ray chunks (the in-flight ray cap).
 
@@ -842,16 +866,19 @@ class Renderer:
         total, n_mid, n_g = (int(x) for x in _bd.count_pairs_dense(
             self._br_verts, cam, width=width, height=height, tile=tile,
             k_slots=k_cap, k2_slots=k_cap))
+        p_max = _bd.pick_cap(total + n_mid, 16 * _bd.TPT)
+        g2_max = _bd.pick_cap(n_g, _bd.TPT, pad=_bd.TPT) if n_g else 0
+        nb = txn * tyn
         self._br = {
             "dense": True, "width": width, "height": height,
-            "nb": txn * tyn, "tile": tile, "ray_rows": tile * tile // 128,
+            "nb": nb, "tile": tile, "ray_rows": tile * tile // 128,
             "k_cap": k_cap, "z_bits": z_bits,
-            "p_max": _bd.pick_cap(total + n_mid, 16 * _bd.TPT),
-            "g2_max": (_bd.pick_cap(n_g, _bd.TPT, pad=_bd.TPT)
-                       if n_g else 0),
+            "p_max": p_max, "g2_max": g2_max,
             "ez_chunk": int(tuned.get("br2_ez", 0)),
             "tpv": int(tuned.get("br2_tpv", 1)),
             "sort_mode": str(tuned.get("br2_sort", "s11")),
+            "kernel": str(tuned.get("br2_kernel", "walk")),
+            "v_cap": _bd.visit_cap(p_max, nb, g2_max),
             "mcodes": jnp.asarray(mcodes),
             "cam_pos": np.asarray(cam["pos"], np.float32),
         }
@@ -918,10 +945,18 @@ class Renderer:
             cam["pos"].astype(jnp.float32),
             jnp.stack([tmin[0], tmax[0], jnp.float32(0),
                        jnp.float32(0), jnp.float32(0)])])
-        tri, t, u, v = _bd.trace_dense_rows(
-            rows, r0, r1, dirs, scalars, g1, n_bins=c["nb"],
-            ray_rows=c["ray_rows"], ez_chunk=c["ez_chunk"], tpv=c["tpv"],
-            interpret=jax.default_backend() == "cpu")
+        interpret = jax.default_backend() == "cpu"
+        if c["kernel"] == "visits":
+            vt, bv = _bd.build_visit_list(r0, r1, g1, v_cap=c["v_cap"],
+                                          nb=c["nb"])
+            tri, t, u, v = _bd.trace_dense_visits(
+                rows, vt, bv, dirs, scalars, n_bins=c["nb"],
+                ray_rows=c["ray_rows"], interpret=interpret)
+        else:
+            tri, t, u, v = _bd.trace_dense_rows(
+                rows, r0, r1, dirs, scalars, g1, n_bins=c["nb"],
+                ray_rows=c["ray_rows"], ez_chunk=c["ez_chunk"],
+                tpv=c["tpv"], interpret=interpret)
         return jnp.where(ok, tri, -2), t, u, v
 
     def _trace_binraster(self, dirn, tmin, tmax, cam):
@@ -1157,13 +1192,14 @@ class Renderer:
                                             key=key)
                 jax.block_until_ready(sec.tmax)
             with timer.stage(f"trace_{mode}"):
+                tr = self._secondary_tracer(long_rays=(mode == "diffuse"))
                 if cfg.sort_secondary:  # dead rays are at the end
                     stri, st, su, sv = _compact_trace(
-                        self._tracer, sec, self._cap(), mode == "ao",
+                        tr, sec, self._cap(), mode == "ao",
                         compact=cfg.compact_rays)
                 else:
                     stri, st, su, sv = _trace_batched(
-                        self._tracer, sec, self._cap(), mode == "ao")
+                        tr, sec, self._cap(), mode == "ao")
                 jax.block_until_ready(stri)
             timer.count(f"rays_{mode}", sec.num_rays)
             if cfg.sort_secondary:
@@ -1215,6 +1251,72 @@ class Renderer:
         c = (lo + hi) / 2
         return np.array([c[0], hi[1] * 0.95, c[2]], np.float32) * 0.7 + camera.position * 0.3
 
+    def _subset_tracer(self):
+        """Lazy 1/seed_subset-triangle prepass tracer (see
+        subset_seeded_trace). None when construction is unsupported."""
+        if hasattr(self, "_sub_tr"):
+            return self._sub_tr
+        self._sub_tr = None
+        try:
+            from ntrace_tpu.bvh.packed import pack_bvh, pick_layout
+
+            K = max(int(self.cfg.seed_subset), 2)
+            sub_scene = Scene(positions=self.scene.positions,
+                              indices=self.scene.indices[::K],
+                              name=f"{self.scene.name}-sub{K}")
+            if sub_scene.num_tris < 4:
+                return None
+            flat = build_accel(
+                sub_scene, BuildConfig(builder="binned_sah",
+                                       sah_tri_cost=0.02,
+                                       max_leaf_size=48), use_cache=True)
+            n_refs = int((flat.tri_index >= 0).sum())
+            enc = np.ascontiguousarray(
+                flat.nodes[:, 12:14]).view(np.int32)
+            avg_leaf = n_refs / max(int((enc < 0).sum()), 1)
+            tpr, npr = pick_layout(flat.nodes.shape[0], n_refs,
+                                   avg_leaf=avg_leaf)
+            packed = pack_bvh(flat, sub_scene.tri_verts(),
+                              tris_per_row=tpr, nodes_per_row=npr)
+            nodes = jax.device_put(jnp.asarray(packed.nodes8))
+            tris = jax.device_put(jnp.asarray(packed.tris12))
+            rows = self.tuned_rows or self.cfg.packet_rows
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            self._sub_tr = _packet_family_tracer(
+                "packet", nodes, tris, tpr=packed.tris_per_row,
+                npr=packed.nodes_per_row,
+                lu=4 if avg_leaf >= 6.0 else 1, rows=rows,
+                interpret=interpret, tuned_kw=self.tuned_kw,
+                dmin=self.tuned_dmin)
+        except Exception as e:
+            import sys
+
+            print(f"[renderer] subset seed tracer unavailable: {e}",
+                  file=sys.stderr)
+        return self._sub_tr
+
+    def _secondary_tracer(self, long_rays: bool):
+        """The tracer secondary passes should use: subset-seeded for long
+        incoherent closest-hit bounces when configured, else the plain
+        engine tracer. Any-hit calls always pass through unseeded (they
+        already early-out on the first hit)."""
+        cfg = self.cfg
+        on = (cfg.seed_secondary == "on"
+              or (cfg.seed_secondary == "auto" and long_rays
+                  and self.engine.startswith("packet")))
+        if not on:
+            return self._tracer
+        sub = self._subset_tracer()
+        if sub is None:
+            return self._tracer
+
+        def tr(o, d, tn, tx, any_hit):
+            if any_hit:
+                return self._tracer(o, d, tn, tx, True)
+            return subset_seeded_trace(self._tracer, sub, o, d, tn, tx)
+
+        return tr
+
     def _path_trace(self, key, batch, tri, t, timer):
         """`bounces`-bounce diffuse path tracing with emissive materials."""
         cfg = self.cfg
@@ -1246,13 +1348,14 @@ class Renderer:
             if cfg.sort_secondary:
                 nb = morton_sort_rays(nb, self.scene_lo, self.scene_hi)
             with timer.stage(f"trace_bounce{b}"):
+                tr = self._secondary_tracer(long_rays=True)
                 if cfg.sort_secondary:  # dead rays are at the end
                     btri, bt, bu, bv = _compact_trace(
-                        self._tracer, nb, self._cap(), False,
+                        tr, nb, self._cap(), False,
                         compact=cfg.compact_rays)
                 else:
                     btri, bt, bu, bv = _trace_batched(
-                        self._tracer, nb, self._cap(), False)
+                        tr, nb, self._cap(), False)
                 jax.block_until_ready(btri)
             timer.count(f"rays_bounce{b}", R)
             if cfg.sort_secondary:

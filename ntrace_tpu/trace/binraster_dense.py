@@ -808,12 +808,230 @@ def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
 
 
 # --------------------------------------------------------------------------
+# The visit-list kernel
+#
+# The r5 session-1 knockouts priced the walk kernel's anatomy: the
+# 11-group MT arithmetic is ~0.8 ms of the 3.67 ms frame (groups1 A/B)
+# and the per-bin fixed cost ~0 (nowalk) -- ~2.9 ms is the per-visit
+# DYNAMIC VMEM load path (rows_ref[pl.ds(w*8, 8)] with a computed w:
+# scalar address chain + unpipelined copy, ~390 ns x ~8k visits; tpv
+# batching made it worse). The fix is structural: enumerate the
+# (bin, tile) VISITS in prep (cheap -- one more tiny expand), make them
+# the GRID, and let the Pallas pipeline deliver each visit's tile as a
+# statically-shaped block whose index comes from a scalar-prefetch map
+# (vis_tile). Same trick for the ray block (vis_bin). Accumulators live
+# in VMEM scratch, which persists across sequential TPU grid steps:
+# initialized on each bin's first visit, lex-reduced 8->1 and written to
+# the output block on its last (visits are bin-contiguous by
+# construction, so the output-block revisit window is exactly the bin's
+# visit run).
+#
+# Exactness: identical tile data, identical MT op order, identical lex
+# (t, id) accumulate as the walk kernel. Filler visits (empty-range bins
+# and V_cap padding) point at an arbitrary real tile: every tested pair
+# runs the exact MT predicate, and a triangle whose projection misses
+# the bin cannot intersect the bin's rays, so extra tests are inert
+# (the v1/v2 superset argument). Early-z is not supported here (tuned
+# ez=0 everywhere); scenes needing the walked-global tier get their
+# global tiles PREPENDED to every bin's visit run.
+
+
+def visit_cap(p_max: int, nb: int, g2_max: int = 0) -> int:
+    """Static upper bound on the visit count: every tile contributes at
+    most (#distinct bins whose pairs it holds) visits <= nt + nb - 1
+    boundary crossings (pairs are bin-sorted), plus <= 1 straddle and
+    the >=1-visit floor per bin, plus the per-bin global prefix."""
+    nt = p_max // TPT
+    v = nt + 2 * nb + nb * (g2_max // TPT)
+    return v + (-v) % 8
+
+
+@functools.partial(jax.jit, static_argnames=("v_cap", "nb"))
+def build_visit_list(row0, row1, g_r1, *, v_cap, nb):
+    """Expand per-bin tile ranges into (vis_tile, vis_bin) i32 arrays of
+    static length v_cap (bin-contiguous; padded visits repeat the last
+    real visit's tile under bin nb-1 -- inert, see module note)."""
+    g = jnp.int32(0) if g_r1 is None else g_r1[0]
+    nv = jnp.maximum(row1 - row0, 1) + g
+    voffs = jnp.cumsum(nv) - nv
+    total = jnp.sum(nv)
+    iota_b = jnp.arange(nb, dtype=jnp.int32)
+    bin_of_v = jax.lax.cummax(
+        jnp.zeros((v_cap,), jnp.int32).at[voffs].max(iota_b, mode="drop"))
+    v = jnp.arange(v_cap, dtype=jnp.int32)
+    slot = v - voffs[bin_of_v]
+    r0b, r1b = row0[bin_of_v], row1[bin_of_v]
+    # slot < g: global-prefix tiles 0..g-1; else range tile (clamped so
+    # the >=1 floor and padding visits re-test a real tile, inert).
+    tile = jnp.where(slot < g, slot,
+                     jnp.minimum(r0b + slot - g, jnp.maximum(r1b - 1, r0b)))
+    valid = v < total
+    tile = jnp.where(valid, tile, tile[jnp.maximum(total - 1, 0)])
+    binv = jnp.where(valid, bin_of_v, nb - 1)
+    return tile, binv
+
+
+def _make_visits_kernel(ray_rows: int, v_cap: int):
+    shape = (GPT, 128)
+
+    def kernel(vt_ref, bv_ref, scal_ref, tile_ref, dirs_ref,
+               out_t, out_id, out_u, out_v, *scratch):
+        acc_t, acc_id, acc_u, acc_v = scratch
+        v = pl.program_id(0)
+        ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
+        tn, tx = scal_ref[3], scal_ref[4]
+        b = bv_ref[v]
+        first = jnp.where(v == 0, True, bv_ref[jnp.maximum(v - 1, 0)] != b)
+        last = jnp.where(v == v_cap - 1, True,
+                         bv_ref[jnp.minimum(v + 1, v_cap - 1)] != b)
+
+        @pl.when(first)
+        def _():
+            for r in range(ray_rows):
+                acc_t[r * GPT:(r + 1) * GPT, :] = (
+                    jnp.full(shape, 1.0, jnp.float32) * tx)
+                acc_id[r * GPT:(r + 1) * GPT, :] = jnp.full(shape, -1,
+                                                            jnp.int32)
+                acc_u[r * GPT:(r + 1) * GPT, :] = jnp.zeros(shape,
+                                                            jnp.float32)
+                acc_v[r * GPT:(r + 1) * GPT, :] = jnp.zeros(shape,
+                                                            jnp.float32)
+
+        tt = tile_ref[0]
+        drep = []
+        for r in range(ray_rows):
+            dx = rep_rows(dirs_ref[0, 0, r:r + 1, :], GPT)
+            dy = rep_rows(dirs_ref[0, 1, r:r + 1, :], GPT)
+            dz = rep_rows(dirs_ref[0, 2, r:r + 1, :], GPT)
+            drep.append((dx, dy, dz))
+        accs = [(acc_t[r * GPT:(r + 1) * GPT, :],
+                 acc_id[r * GPT:(r + 1) * GPT, :],
+                 acc_u[r * GPT:(r + 1) * GPT, :],
+                 acc_v[r * GPT:(r + 1) * GPT, :]) for r in range(ray_rows)]
+
+        for g in range(GROUPS):
+            c = lambda k: tt[:, CPL * g + k: CPL * g + k + 1]
+            v0x, v0y, v0z = c(0), c(1), c(2)
+            e1x, e1y, e1z = c(3), c(4), c(5)
+            e2x, e2y, e2z = c(6), c(7), c(8)
+            tid = c(9).astype(jnp.int32) + jnp.zeros(shape, jnp.int32)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            c0 = e2x * qx + e2y * qy + e2z * qz
+            okg = tid >= 0
+            new = []
+            for (dx, dy, dz), hs in zip(drep, accs):
+                cur_t, cur_id, cur_u, cur_v = hs
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = np.float32(1.0) / jnp.where(
+                    det == 0, np.float32(1.0), det)
+                u = (tvx * px + tvy * py + tvz * pz) * inv
+                vv = (dx * qx + dy * qy + dz * qz) * inv
+                t = c0 * inv
+                ok = ((det != 0) & okg & (u >= 0) & (vv >= 0)
+                      & (u + vv <= 1) & (t > tn))
+                bt = jnp.where(ok, t, INF)
+                bid = jnp.where(ok, tid, jnp.int32(0x7FFFFFFF))
+                acc = (bt < cur_t) | ((bt == cur_t) & (bid < cur_id))
+                new.append((jnp.where(acc, bt, cur_t),
+                            jnp.where(acc, bid, cur_id),
+                            jnp.where(acc, u, cur_u),
+                            jnp.where(acc, vv, cur_v)))
+            accs = new
+        for r in range(ray_rows):
+            acc_t[r * GPT:(r + 1) * GPT, :] = accs[r][0]
+            acc_id[r * GPT:(r + 1) * GPT, :] = accs[r][1]
+            acc_u[r * GPT:(r + 1) * GPT, :] = accs[r][2]
+            acc_v[r * GPT:(r + 1) * GPT, :] = accs[r][3]
+
+        @pl.when(last)
+        def _():
+            for r in range(ray_rows):
+                cur = accs[r]
+                sh = GPT // 2
+                while sh >= 1:
+                    rl = tuple(pltpu.roll(a, sh, axis=0) for a in cur)
+                    take = (rl[0] < cur[0]) | ((rl[0] == cur[0])
+                                               & (rl[1] < cur[1]))
+                    cur = tuple(jnp.where(take, rl[i], cur[i])
+                                for i in range(4))
+                    sh //= 2
+                out_t[0, r:r + 1, :] = cur[0][0:1]
+                out_id[0, r:r + 1, :] = cur[1][0:1]
+                out_u[0, r:r + 1, :] = cur[2][0:1]
+                out_v[0, r:r + 1, :] = cur[3][0:1]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "ray_rows", "interpret"))
+def trace_dense_visits(rows, vis_tile, vis_bin, dirs, scalars, *,
+                       n_bins: int, ray_rows: int, interpret: bool = False):
+    """Trace prepped dense tiles via the visit-list kernel. dirs:
+    (3 * n_bins * ray_rows, 128) f32 component-stacked dirs in Morton
+    slot order (same contract as trace_dense_rows); scalars (8,) f32.
+    Returns (tri, t, u, v) flat in slot order; tri == -1 on miss."""
+    v_cap = vis_tile.shape[0]
+    nrd = n_bins * ray_rows
+    # bin-major dirs for per-visit block fetch: (nb, 3, ray_rows, 128)
+    dirs_b = jnp.transpose(dirs.reshape(3, n_bins, ray_rows, 128),
+                           (1, 0, 2, 3))
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20)
+    out = pl.pallas_call(
+        _make_visits_kernel(ray_rows, v_cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(v_cap,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # scalars
+                pl.BlockSpec((1, GPT, 128),
+                             lambda v, vt, bv: (vt[v], 0, 0)),
+                pl.BlockSpec((1, 3, ray_rows, 128),
+                             lambda v, vt, bv: (bv[v], 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, ray_rows, 128),
+                             lambda v, vt, bv: (bv[v], 0, 0))
+                for _ in range(4)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((ray_rows * GPT, 128), jnp.float32),
+                pltpu.VMEM((ray_rows * GPT, 128), jnp.int32),
+                pltpu.VMEM((ray_rows * GPT, 128), jnp.float32),
+                pltpu.VMEM((ray_rows * GPT, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_bins, ray_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_bins, ray_rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_bins, ray_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_bins, ray_rows, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        **params,
+    )(vis_tile, vis_bin, scalars,
+      rows.reshape(rows.shape[0] // GPT, GPT, 128), dirs_b)
+    t = out[0].reshape(-1)
+    tri = out[1].reshape(-1)
+    return tri, t, out[2].reshape(-1), out[3].reshape(-1)
+
+
+# --------------------------------------------------------------------------
 # Public entry
 
 
 def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
                         ez_chunk=4, interpret=False, p_max=None,
-                        k_cap=64, tpv=1, sort_mode="s11"):
+                        k_cap=64, tpv=1, sort_mode="s11", kernel="walk"):
     """Primary-ray closest-hit over the full camera grid (dense engine,
     v3 prep).
 
@@ -854,9 +1072,16 @@ def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
         rows, row0, row1, g_r1, ok = binraster_prep_dense3(
             verts_dev, cam, jnp.asarray(mcodes_np), sort_mode=sort_mode,
             **kw)
-    tri, t, u, v = trace_dense_rows(
-        rows, row0, row1, dirs, scalars, g_r1,
-        n_bins=nb, ray_rows=ray_rows, ez_chunk=ez_chunk,
-        interpret=interpret, tpv=tpv)
+    if kernel == "visits":
+        vt, bv = build_visit_list(
+            row0, row1, g_r1, v_cap=visit_cap(p_max, nb, g2_max), nb=nb)
+        tri, t, u, v = trace_dense_visits(
+            rows, vt, bv, dirs, scalars, n_bins=nb, ray_rows=ray_rows,
+            interpret=interpret)
+    else:
+        tri, t, u, v = trace_dense_rows(
+            rows, row0, row1, dirs, scalars, g_r1,
+            n_bins=nb, ray_rows=ray_rows, ez_chunk=ez_chunk,
+            interpret=interpret, tpv=tpv)
     # Static-bucket overflow poisons hits (-2): loud, never silent.
     return jnp.where(ok, tri, -2), t, u, v

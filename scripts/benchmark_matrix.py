@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Five-config benchmark matrix -> results_matrix_r4.json.
+"""Five-config benchmark matrix -> results_matrix_r<N>.json
+(NTRACE_MATRIX_OUT, default r5).
 
 Round-4 protocol unification (VERDICT r3 #2/#3/#4/#8):
   * Every Mrays/s number now comes in TWO labeled flavors:
@@ -40,7 +41,8 @@ from ntrace_tpu.render.renderer import Renderer, build_accel
 from ntrace_tpu.scenes import default_camera, get_scene
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "results_matrix_r4.json")
+                   os.environ.get("NTRACE_MATRIX_OUT",
+                                  "results_matrix_r5.json"))
 K = int(os.environ.get("NTRACE_MATRIX_CHAIN", 4))
 
 CONFIGS = [
@@ -203,6 +205,11 @@ for name, n, builder, extra, modes, samples in CONFIGS:
             if mode in ("shadow", "ao", "diffuse"):
                 sec, any_hit = r.gen_secondary(cam, mode, batch, tri0, t0_)
                 jax.block_until_ready(sec.tmax)
+                # The tracer render() actually uses for this mode:
+                # subset-seeded for long incoherent closest-hit bounces
+                # (seed pass runs INSIDE the chain -- honest marginal).
+                sec_tracer = r._secondary_tracer(
+                    long_rays=(mode == "diffuse"))
 
                 def chained_sec(k):
                     @jax.jit
@@ -210,7 +217,7 @@ for name, n, builder, extra, modes, samples in CONFIGS:
                         acc = jnp.float32(0)
                         tn2 = tn
                         for _ in range(k):
-                            stri, st, su, sv = r._tracer(
+                            stri, st, su, sv = sec_tracer(
                                 o, d, tn2, tx, any_hit)
                             acc = acc + jnp.where(
                                 st < 3e37, st, 0.0).sum()

@@ -36,13 +36,15 @@ def _frame(W, H, campos, fwd, n_tris, seed, **kw):
     return np.asarray(tri), np.asarray(t), np.asarray(u), np.asarray(v), ref
 
 
-@pytest.mark.parametrize("tile,ez_chunk,sort_mode", [
-    (16, 4, "s11"), (16, 0, "s11"), (32, 2, "s11"),
-    (16, 0, "sg"), (16, 0, "v4"), (32, 2, "v4")])
-def test_dense_matches_brute_force(tile, ez_chunk, sort_mode):
+@pytest.mark.parametrize("tile,ez_chunk,sort_mode,kernel", [
+    (16, 4, "s11", "walk"), (16, 0, "s11", "walk"), (32, 2, "s11", "walk"),
+    (16, 0, "sg", "walk"), (16, 0, "v4", "walk"), (32, 2, "v4", "walk"),
+    (16, 0, "sg", "visits"), (16, 0, "v4", "visits"),
+    (32, 0, "s11", "visits")])
+def test_dense_matches_brute_force(tile, ez_chunk, sort_mode, kernel):
     tri, t, u, v, ref = _frame(
         64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
-        tile=tile, ez_chunk=ez_chunk, sort_mode=sort_mode)
+        tile=tile, ez_chunk=ez_chunk, sort_mode=sort_mode, kernel=kernel)
     np.testing.assert_array_equal(tri, ref.tri)
     hit = ref.tri >= 0
     assert hit.sum() > 100
@@ -57,13 +59,15 @@ def test_dense_oblique_camera():
     np.testing.assert_array_equal(tri, ref.tri)
 
 
-@pytest.mark.parametrize("sort_mode", ["s11", "v4"])
-def test_dense_camera_inside_soup(sort_mode):
+@pytest.mark.parametrize("sort_mode,kernel", [
+    ("s11", "walk"), ("v4", "walk"), ("v4", "visits")])
+def test_dense_camera_inside_soup(sort_mode, kernel):
     # Near-plane crossers + geometry in every direction: exercises the
-    # walked-global tier and the exact near-plane clip path.
+    # walked-global tier (per-bin prefix visits in the visits kernel)
+    # and the exact near-plane clip path.
     tri, t, u, v, ref = _frame(
         64, 64, (0.0, 0.0, 0.0), (0.3, -0.2, -1.0), 400, 37, tile=16,
-        sort_mode=sort_mode)
+        sort_mode=sort_mode, kernel=kernel)
     np.testing.assert_array_equal(tri, ref.tri)
 
 

@@ -77,6 +77,22 @@ def test_builders_pixel_identical(frames):
         assert checksum(r.image) == base, f"{builder} frame differs"
 
 
+@pytest.mark.parametrize("mode", ["diffuse", "path"])
+def test_seeded_secondary_is_exact(mode):
+    """Sparse-subset tmax seeding for bounce rays (subset_seeded_trace)
+    must be invisible: subset hits are true per-ray upper bounds, so the
+    seeded main pass returns the identical closest hit (incl. lowest-id
+    tie-break). Packet engine = the path that engages under auto."""
+    scene = get_scene("conference", n_tris=4000)
+    base = dict(width=64, height=48, mode=mode, samples=2, seed=7,
+                engine="packet", packet_rows=8, seed_subset=8)
+    off = render_frame(scene, cfg=RenderConfig(**base, seed_secondary="off"),
+                       build_cfg=BuildConfig(builder="binned_sah"))
+    on = render_frame(scene, cfg=RenderConfig(**base, seed_secondary="on"),
+                      build_cfg=BuildConfig(builder="binned_sah"))
+    np.testing.assert_array_equal(on.image, off.image)
+
+
 def test_seeded_primary_is_exact():
     """Depth-prepass tmax seeding (seeded_closest_trace) must be invisible:
     seed on vs off, pixel-identical (exactness comes from the fixup pass,
