@@ -242,22 +242,35 @@ def subset_seeded_trace(tracer, sub_tracer, orig, dirn, tmin, tmax):
     seeded_closest_trace's depth-prepass seed needs neighbour coherence
     (screen tiles), which bounce rays don't have. But an upper bound on
     each ray's OWN closest t comes from tracing a 1/K subset of the
-    triangles: a subset hit is a real scene hit, so t_sub >= t_closest.
-    The main pass runs with tmax' = nextafter(t_sub): every true
-    candidate has t <= t_sub < tmax', so the main pass alone returns the
-    exact closest hit INCLUDING the (t, lowest-id) tie-break -- the
-    subset triangle itself is re-found by the main pass (it is in the
-    full tables), and any same-t lower-id winner is strictly below
-    tmax'. Misses keep the original tmax. The seed only tightens the
-    per-lane hitT that the slab tests already clamp to
-    (packet_pallas._slab_child), so pruning engages from step one
-    instead of developing late in traversal -- the win on long
+    triangles: a subset hit is a real scene hit, so t_sub >= t_closest,
+    and the main pass can traverse with tmax' ~ t_sub -- hitT pruning
+    from step one instead of developing late, the win on long
     incoherent rays whose packets otherwise walk deep unions.
+
+    Exactness needs care at the boundary: the slab test's box-entry
+    arithmetic ((lo - o) * inv_d) rounds a few ulps ABOVE the true hit
+    t, so tmax' = nextafter(t_sub) can prune the very node holding the
+    hit (measured: 4/6144 fairy-class rays). Two guards make the result
+    bit-identical to a plain trace: a small multiplicative slack on the
+    seed, and seeded_closest_trace's exact FIXUP -- any ray that misses
+    under a BINDING seed retraces with its original tmax (everyone else
+    dead-marked, so the fixup packet train terminates in one step per
+    packet). A hit under a smaller tmax is the true closest hit with
+    the true (t, lowest-id) tie-break, since every candidate with
+    t <= t_sub < tmax' is in range and the subset triangle itself is in
+    the full tables.
     """
     stri, st, _, _ = sub_tracer(orig, dirn, tmin, tmax, False)
-    seed = jnp.where(stri >= 0,
-                     jnp.nextafter(st, jnp.float32(np.inf)), tmax)
-    return tracer(orig, dirn, tmin, seed, False)
+    seed = jnp.where(
+        stri >= 0,
+        jnp.minimum(st * np.float32(1.0 + 1e-4), tmax), tmax)
+    tri1, t1, u1, v1 = tracer(orig, dirn, tmin, seed, False)
+    need = (tri1 < 0) & (seed < tmax)
+    tx2 = jnp.where(need, tmax, tmin)   # non-fixup rays are dead lanes
+    tri2, t2, u2, v2 = tracer(orig, dirn, tmin, tx2, False)
+    return tuple(
+        jnp.where(need, b, a)
+        for a, b in zip((tri1, t1, u1, v1), (tri2, t2, u2, v2)))
 
 
 def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
