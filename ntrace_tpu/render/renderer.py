@@ -879,6 +879,16 @@ class Renderer:
         total, n_mid, n_g = (int(x) for x in _bd.count_pairs_dense(
             self._br_verts, cam, width=width, height=height, tile=tile,
             k_slots=k_cap, k2_slots=k_cap))
+        # Scale policy (VERDICT r4 #6/weak-6): every prep op scales with
+        # the pair count, so arming is gated on it, not on a triangle
+        # cap alone -- a camera that blows the pair budget (hairball/
+        # San Miguel class) routes to the BVH engines instead of arming
+        # a measured loser. Default from the conference crossover
+        # pricing; tuned.json can move it per fleet measurement.
+        max_pairs = int(tuned.get("br2_max_pairs", 2_000_000))
+        if total + n_mid > max_pairs:
+            self._br = None
+            return False
         p_max = _bd.pick_cap(total + n_mid, 16 * _bd.TPT)
         g2_max = _bd.pick_cap(n_g, _bd.TPT, pad=_bd.TPT) if n_g else 0
         nb = txn * tyn

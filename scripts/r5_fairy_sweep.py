@@ -23,6 +23,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Persistent executable cache: axon remote compiles cost 10-120 s each
+# over the tunnel; re-runs of identical HLO should not pay twice.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_cc")
 
 import jax
 import jax.numpy as jnp

@@ -169,6 +169,23 @@ def test_trace_primary_canonical_inside_jit(monkeypatch):
     assert (np.asarray(jitted[0]) >= 0).sum() > 1000
 
 
+def test_pair_budget_declines_arming(monkeypatch):
+    # Scale policy (round-5): a camera whose pair count blows the tuned
+    # budget must NOT arm the dense engine -- the BVH path serves it.
+    from ntrace_tpu.trace import binraster_dense as bd
+
+    r, ca, rb = _armed_dense_renderer(monkeypatch)
+    monkeypatch.setattr(
+        bd, "count_pairs_dense",
+        lambda *a, **k: (jnp.int32(3_000_000), jnp.int32(0), jnp.int32(0)))
+    assert not r.prepare_primary(ca, 64, 64)
+    assert r._br is None
+    # and trace_primary still answers (general path)
+    tri, t, u, v = r.trace_primary(rb.orig, rb.dirn, rb.tmin, rb.tmax,
+                                   cam=ca)
+    assert (np.asarray(tri) >= 0).sum() > 0
+
+
 def test_canonical_true_checked_on_concrete_inputs(monkeypatch):
     # ADVICE r4: canonical=True on CONCRETE rays that violate the
     # contract must raise, not silently trace a stale structure.
