@@ -57,6 +57,20 @@ def golden_mismatches(tri_dev, t_dev, tri_gold, t_gold,
 
     The ulp distance is the difference of the int32 bit patterns, exact
     for same-sign finite floats (hit distances are positive).
+
+    Why raw-0 id equality is NOT achievable against this golden for the
+    dense screen-space engine (r4 VERDICT hygiene item, investigated
+    r5): the golden's leaf test runs on WOOP-transformed triangles
+    (flat.woop, the BVH engines' arithmetic) while the dense engine
+    runs raw Moller-Trumbore on vertices -- two exact-but-different f32
+    formulations whose t values differ in the last ulps. At a shared
+    mesh edge the two triangles' t values straddle within those ulps,
+    so which one wins lex-(t, id) legitimately differs BETWEEN
+    FORMULATIONS, not between visit orders; no accumulate-order change
+    on either side can reconcile them. Raw-exact dense checks instead
+    gate against bvh/golden.py brute_force_mt (identical MT op order;
+    tests/test_binraster_dense.py asserts bit equality), and this
+    tie-aware compare remains the cross-formulation frame gate.
     """
     tri_dev = np.asarray(tri_dev)
     tri_gold = np.asarray(tri_gold)

@@ -92,7 +92,7 @@ if br_best is not None and br_best["primary_mrays"] > best["mrays"]:
 # records carrying their own golden fields).
 bd = []
 for src in ("results_binraster_dense.json", "results_r4_dense3.json",
-            "results_r4_dense5.json"):
+            "results_r4_dense5.json", "results_r5_arm.json"):
     try:
         with open(os.path.join(root, src)) as f:
             bd += [json.loads(line) for line in f if line.strip()]
@@ -107,7 +107,7 @@ for src in ("results_binraster_dense.json", "results_r4_dense3.json",
 def _auth_verdict(rec):
     if rec.get("stage") == "golden":
         return bool(rec.get("match"))
-    if rec.get("stage") in ("fullframe3", "fullframe5"):
+    if rec.get("stage") in ("fullframe3", "fullframe5", "fullframe_r5"):
         return bool(rec.get("golden_match"))
     if rec.get("stage") == "golden_full_tieaware":
         return bool(rec.get("match"))
@@ -119,18 +119,33 @@ bd_fail = {rec.get("cfg") for rec in bd if _auth_verdict(rec) is False}
 bd_golden_ok = bd_pass - bd_fail
 bd_best = None
 for rec in bd:
-    if (rec.get("stage") not in ("full", "fullframe3", "fullframe5")
+    if (rec.get("stage") not in ("full", "fullframe3", "fullframe5",
+                                 "fullframe_r5")
             or "mrays" not in rec):
         continue
-    m = re.match(r"t(\d+)_ez(\d+)(?:_tpv(\d+)_prep3(sg|s11)?)?$",
-                 rec.get("cfg", ""))
-    if not m or rec.get("cfg") not in bd_golden_ok:
+    if rec.get("cfg") not in bd_golden_ok:
         continue
-    cand = dict(primary_engine="binraster_dense", br2_tile=int(m.group(1)),
-                br2_ez=int(m.group(2)), br2_tpv=int(m.group(3) or 1),
-                primary_mrays=rec["mrays"], primary_source=rec["cfg"])
-    if m.group(4):   # session-5 payload-movement A/B (prep v3 sort mode)
-        cand["br2_sort"] = m.group(4)
+    if rec.get("stage") == "fullframe_r5":
+        # round-5 records carry their knobs explicitly (no cfg regex)
+        cand = dict(primary_engine="binraster_dense",
+                    br2_tile=int(rec.get("br2_tile", 16)),
+                    br2_ez=int(rec.get("br2_ez", 0)),
+                    br2_tpv=int(rec.get("br2_tpv", 1)),
+                    br2_sort=str(rec.get("br2_sort", "sg")),
+                    br2_kernel=str(rec.get("br2_kernel", "walk")),
+                    primary_mrays=rec["mrays"],
+                    primary_source=rec["cfg"])
+    else:
+        m = re.match(r"t(\d+)_ez(\d+)(?:_tpv(\d+)_prep3(sg|s11)?)?$",
+                     rec.get("cfg", ""))
+        if not m:
+            continue
+        cand = dict(primary_engine="binraster_dense",
+                    br2_tile=int(m.group(1)),
+                    br2_ez=int(m.group(2)), br2_tpv=int(m.group(3) or 1),
+                    primary_mrays=rec["mrays"], primary_source=rec["cfg"])
+        if m.group(4):   # session-5 payload-movement A/B (prep sort mode)
+            cand["br2_sort"] = m.group(4)
     if bd_best is None or cand["primary_mrays"] > bd_best["primary_mrays"]:
         bd_best = cand
 if bd_best is not None and bd_best["primary_mrays"] > max(
