@@ -269,7 +269,11 @@ class RenderConfig:
     #                            [tmin, nextafter(t_sub)] -- hitT pruning
     #                            from step one, exactly the same image
     #                            (render/renderer.py subset_seeded_trace).
-    #                            "on" | "off" | "auto" (packet engines)
+    #                            "on" | "off" | "auto" (auto engages only
+    #                            when a device sweep wrote
+    #                            seed_secondary_on into tuned.json; the
+    #                            r5 fairy A/B measured seeding as a net
+    #                            loss on forest diffuse)
     seed_subset: int = 16  # subset stride for seed_secondary
     compact_forest: str = "auto"  # chunk-membership ray compaction in the
     #                            multi-chunk forest path (the reference's

@@ -1324,9 +1324,16 @@ class Renderer:
         engine tracer. Any-hit calls always pass through unseeded (they
         already early-out on the first hit)."""
         cfg = self.cfg
+        # auto is MEASUREMENT-gated, not heuristic: the r5 fairy device
+        # A/B (results_r5_session3.json) priced subset seeding as a NET
+        # LOSS on forest-class diffuse (5.1-5.5 vs 6.5 Mrays/s unseeded
+        # -- near hits already self-prune via the kernel's running
+        # hitT), so auto engages only when a device sweep wrote
+        # seed_secondary_on into tuned.json for this fleet.
         on = (cfg.seed_secondary == "on"
               or (cfg.seed_secondary == "auto" and long_rays
-                  and self.engine.startswith("packet")))
+                  and self.engine.startswith("packet")
+                  and bool(_load_tuned().get("seed_secondary_on"))))
         if not on:
             return self._tracer
         sub = self._subset_tracer()
