@@ -975,6 +975,10 @@ class Renderer:
             tri, t, u, v = _bd.trace_dense_visits(
                 rows, vt, bv, dirs, scalars, n_bins=c["nb"],
                 ray_rows=c["ray_rows"], interpret=interpret)
+        elif c["kernel"] == "dma":
+            tri, t, u, v = _bd.trace_dense_rows_dma(
+                rows, r0, r1, dirs, scalars, g1, n_bins=c["nb"],
+                ray_rows=c["ray_rows"], interpret=interpret)
         else:
             tri, t, u, v = _bd.trace_dense_rows(
                 rows, r0, r1, dirs, scalars, g1, n_bins=c["nb"],

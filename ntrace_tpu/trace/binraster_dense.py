@@ -808,6 +808,204 @@ def trace_dense_rows(rows, row0, row1, dirs, scalars, g_r1=None, *,
 
 
 # --------------------------------------------------------------------------
+# The DMA walk kernel
+#
+# Session-1/2b anatomy of the walk kernel's 3.7-4.25 ms: MT arithmetic
+# ~0.8 ms (groups1 A/B), per-bin fixed ~0 (nowalk), the rest is the
+# per-visit DYNAMIC load path (~350 ns/visit). This variant keeps the
+# walk schedule but moves the tile table to HBM and DOUBLE-BUFFERS the
+# visit loads with explicit async DMA: while tile k computes, tile k+1
+# is in flight. Starts and waits are balanced per walk (prologue start
+# guarded on a non-empty range; in-loop start only for k+1 < trips), so
+# semaphores never leak across bins. Identical arithmetic and visit
+# order to trace_dense_rows -- bit-identical results.
+
+
+def _make_dense_kernel_dma(n_bins: int, ray_rows: int, n_tiles: int,
+                           g_prefix: bool, bpg: int):
+    shape = (GPT, 128)
+
+    def kernel(*refs):
+        if g_prefix:
+            (row0_ref, row1_ref, gref, scal_ref, rows_hbm, dirs_ref,
+             out_t, out_id, out_u, out_v, buf, sem) = refs
+        else:
+            (row0_ref, row1_ref, scal_ref, rows_hbm, dirs_ref,
+             out_t, out_id, out_u, out_v, buf, sem) = refs
+        ox, oy, oz = scal_ref[0], scal_ref[1], scal_ref[2]
+        tn, tx = scal_ref[3], scal_ref[4]
+
+        def dma(k, w0, slot):
+            w = jnp.minimum(w0 + k, n_tiles - 1)
+            return pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(w * GPT, GPT), :], buf.at[slot],
+                sem.at[slot])
+
+        def run_bin(b, j):
+            drep = []
+            for r in range(ray_rows):
+                dx = rep_rows(dirs_ref[0, pl.ds(j * ray_rows + r, 1), :],
+                              GPT)
+                dy = rep_rows(dirs_ref[1, pl.ds(j * ray_rows + r, 1), :],
+                              GPT)
+                dz = rep_rows(dirs_ref[2, pl.ds(j * ray_rows + r, 1), :],
+                              GPT)
+                drep.append((dx, dy, dz))
+            accs = [(jnp.full(shape, 1.0, jnp.float32) * tx,
+                     jnp.full(shape, -1, jnp.int32),
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.zeros(shape, jnp.float32))
+                    for _ in range(ray_rows)]
+
+            def tile_tris_arr(tt, accs):
+                for g in range(GROUPS):
+                    c = lambda k: tt[:, CPL * g + k: CPL * g + k + 1]
+                    v0x, v0y, v0z = c(0), c(1), c(2)
+                    e1x, e1y, e1z = c(3), c(4), c(5)
+                    e2x, e2y, e2z = c(6), c(7), c(8)
+                    tid = (c(9).astype(jnp.int32)
+                           + jnp.zeros(shape, jnp.int32))
+                    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    c0 = e2x * qx + e2y * qy + e2z * qz
+                    okg = tid >= 0
+                    new = []
+                    for (dx, dy, dz), hs in zip(drep, accs):
+                        cur_t, cur_id, cur_u, cur_v = hs
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv = np.float32(1.0) / jnp.where(
+                            det == 0, np.float32(1.0), det)
+                        u = (tvx * px + tvy * py + tvz * pz) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = c0 * inv
+                        ok = ((det != 0) & okg & (u >= 0) & (v >= 0)
+                              & (u + v <= 1) & (t > tn))
+                        bt = jnp.where(ok, t, INF)
+                        bid = jnp.where(ok, tid, jnp.int32(0x7FFFFFFF))
+                        acc = (bt < cur_t) | ((bt == cur_t)
+                                              & (bid < cur_id))
+                        new.append((jnp.where(acc, bt, cur_t),
+                                    jnp.where(acc, bid, cur_id),
+                                    jnp.where(acc, u, cur_u),
+                                    jnp.where(acc, v, cur_v)))
+                    accs = new
+                return accs
+
+            def walk(w0, w1, accs):
+                trips = w1 - w0
+
+                @pl.when(trips > 0)
+                def _():
+                    dma(0, w0, 0).start()
+
+                def fbody(k, accs):
+                    slot = jax.lax.rem(k, 2)
+
+                    @pl.when(k + 1 < trips)
+                    def _():
+                        dma(k + 1, w0, 1 - slot).start()
+
+                    dma(k, w0, slot).wait()
+                    return tile_tris_arr(buf[slot], accs)
+
+                return jax.lax.fori_loop(0, trips, fbody, accs)
+
+            if g_prefix:
+                accs = walk(jnp.int32(0), gref[0], accs)
+            accs = walk(row0_ref[b], row1_ref[b], accs)
+
+            rows_out = []
+            for r, hs in enumerate(accs):
+                cur = hs
+                sh = GPT // 2
+                while sh >= 1:
+                    rl = tuple(pltpu.roll(a, sh, axis=0) for a in cur)
+                    take = (rl[0] < cur[0]) | ((rl[0] == cur[0])
+                                               & (rl[1] < cur[1]))
+                    cur = tuple(jnp.where(take, rl[i], cur[i])
+                                for i in range(4))
+                    sh //= 2
+                rows_out.append(tuple(a[0:1] for a in cur))
+            return rows_out
+
+        g = pl.program_id(0)
+        res = []
+        for j in range(bpg):
+            res += run_bin(g * bpg + j, j)
+        tile = [jnp.concatenate([rr_[i] for rr_ in res], axis=0)
+                for i in range(4)]
+        out_t[:, :] = tile[0]
+        out_id[:, :] = tile[1]
+        out_u[:, :] = tile[2]
+        out_v[:, :] = tile[3]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "ray_rows", "interpret"))
+def trace_dense_rows_dma(rows, row0, row1, dirs, scalars, g_r1=None, *,
+                         n_bins: int, ray_rows: int,
+                         interpret: bool = False):
+    """trace_dense_rows with double-buffered manual tile DMA from HBM.
+    Identical contract and bit-identical results."""
+    nrd = n_bins * ray_rows
+    n_tiles = rows.shape[0] // GPT
+    g_prefix = g_r1 is not None
+    bpg = max(8 // ray_rows, 1)
+    if n_bins % bpg:
+        bpg = 1
+    brows = bpg * ray_rows
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                (dirs.shape[0] + 4 * nrd) * 128 * 4 + (16 << 20),
+                127 << 20))
+    dirs3 = dirs.reshape(3, nrd, 128)
+    pref = [row0, row1]
+    if g_prefix:
+        pref.append(g_r1)
+    npf = len(pref)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    dirs_spec = pl.BlockSpec((3, brows, 128),
+                             lambda g, *_: (0, g, 0),
+                             memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((brows, 128), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_dense_kernel_dma(n_bins, ray_rows, n_tiles, g_prefix, bpg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=npf,
+            grid=(n_bins // bpg,),
+            in_specs=[sspec, hbm_spec, dirs_spec],
+            out_specs=[ospec] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((2, GPT, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nrd, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nrd, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nrd, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nrd, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        **params,
+    )(*pref, scalars, rows, dirs3)
+    t = out[0].reshape(-1)
+    tri = out[1].reshape(-1)
+    return tri, t, out[2].reshape(-1), out[3].reshape(-1)
+
+
+# --------------------------------------------------------------------------
 # The visit-list kernel
 #
 # The r5 session-1 knockouts priced the walk kernel's anatomy: the
@@ -1078,6 +1276,10 @@ def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
         tri, t, u, v = trace_dense_visits(
             rows, vt, bv, dirs, scalars, n_bins=nb, ray_rows=ray_rows,
             interpret=interpret)
+    elif kernel == "dma":
+        tri, t, u, v = trace_dense_rows_dma(
+            rows, row0, row1, dirs, scalars, g_r1, n_bins=nb,
+            ray_rows=ray_rows, interpret=interpret)
     else:
         tri, t, u, v = trace_dense_rows(
             rows, row0, row1, dirs, scalars, g_r1,

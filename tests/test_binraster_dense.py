@@ -40,7 +40,7 @@ def _frame(W, H, campos, fwd, n_tris, seed, **kw):
     (16, 4, "s11", "walk"), (16, 0, "s11", "walk"), (32, 2, "s11", "walk"),
     (16, 0, "sg", "walk"), (16, 0, "v4", "walk"), (32, 2, "v4", "walk"),
     (16, 0, "sg", "visits"), (16, 0, "v4", "visits"),
-    (32, 0, "s11", "visits")])
+    (32, 0, "s11", "visits"), (16, 0, "sg", "dma")])
 def test_dense_matches_brute_force(tile, ez_chunk, sort_mode, kernel):
     tri, t, u, v, ref = _frame(
         64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
@@ -60,7 +60,7 @@ def test_dense_oblique_camera():
 
 
 @pytest.mark.parametrize("sort_mode,kernel", [
-    ("s11", "walk"), ("v4", "walk"), ("v4", "visits")])
+    ("s11", "walk"), ("v4", "walk"), ("v4", "visits"), ("sg", "dma")])
 def test_dense_camera_inside_soup(sort_mode, kernel):
     # Near-plane crossers + geometry in every direction: exercises the
     # walked-global tier (per-bin prefix visits in the visits kernel)
