@@ -187,11 +187,20 @@ def main():
     print(f"[bench] marginal frame {marginal*1e3:.1f} ms; hit_rate "
           f"{hit_rate:.3f}; golden {len(sub)-mismatches}/{len(sub)} match; "
           f"total {time.time()-t0:.1f}s", file=sys.stderr)
+    # vs_baseline reports the BINDING-relevant figure (r4 VERDICT
+    # protocol ruling): when the frozen-structure split exists, the
+    # moving-camera number is fullframe_mrays, so that is what gets
+    # compared to the >=150 target; the frozen kernel marginal keeps
+    # its own ratio alongside.
+    vs_binding = (fullframe_mrays if fullframe_mrays is not None
+                  else mrays) / 150.0
     print(json.dumps({
         "metric": "conference_primary_mrays",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 150.0, 4),
+        "vs_baseline": round(vs_binding, 4),
+        **({"frozen_vs_baseline": round(mrays / 150.0, 4)}
+           if fullframe_mrays is not None else {}),
         "golden_match": golden_match,
         "golden_mismatches": mismatches,
         "golden_sampled": int(len(sub)),
@@ -199,6 +208,8 @@ def main():
         # primary engine over X for everything else
         "engine": (f"{r.primary_engine}+{r.engine}" if use_br
                    else r.engine),
+        **({"br2_kernel": r._br.get("kernel", "walk")}
+           if use_br and getattr(r, "_br", None) else {}),
         "packet_rows": r.tuned_rows or cfg.packet_rows,
         **({"fullframe_mrays": fullframe_mrays,
             "prep_wall_ms": round(prep_wall_ms, 2),
