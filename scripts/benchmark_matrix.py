@@ -59,6 +59,11 @@ CONFIGS = [
      dict(sah_tri_cost=0.02, max_leaf_size=48), ["path"], 1),
     ("conference", 280_000,  "kdtree",
      dict(max_leaf_size=16, sah_tri_cost=0.5), ["primary"], 4),
+    # Supplementary: tree-quality A/B for incoherent rays (r5 session 3
+    # measured SAH +31% over HLBVH on fairy diffuse; the row above keeps
+    # HLBVH per BASELINE's prescribed build path).
+    ("fairy",      170_000,  "binned_sah",
+     dict(max_leaf_size=32, sah_tri_cost=0.02), ["diffuse"], 4),
 ]
 
 results = []
