@@ -1,0 +1,83 @@
+"""Classify sibenik's 3/786432 tie-aware golden residue (r5 matrix).
+
+The sibenik config runs the PACKET engine (dense not armed for the
+binned_sah golden-path config) vs the CPU golden -- both Woop
+arithmetic, so raw diffs should be 0 and a tie-aware residue of 3 needs
+a per-ray explanation (expected classes: coplanar duplicate geometry
+with |t| gap just past 4 ulps, or boundary u/v on shared edges).
+Dumps full per-ray detail for every raw diff. nohup, no shell timeout.
+Appends JSONL to results_r5_session3.json.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_cc")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntrace_tpu.core import BuildConfig, RenderConfig
+from ntrace_tpu.ray import pixel_table, raygen
+from ntrace_tpu.render.renderer import Renderer, build_accel
+from ntrace_tpu.scenes import default_camera, get_scene
+from ntrace_tpu.trace.cpu import trace_cpu_golden
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "results_r5_session3.json")
+W, H = 1024, 768
+
+
+def emit(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    scene = get_scene("sibenik", n_tris=80_000)
+    bcfg = BuildConfig(builder="binned_sah", sah_tri_cost=0.02,
+                       max_leaf_size=48)
+    flat = build_accel(scene, bcfg, use_cache=True)
+    r = Renderer(scene, bcfg, RenderConfig(
+        width=W, height=H, mode="primary", packet_rows=16,
+        engine="auto"), flat=flat)
+    cam = default_camera("sibenik")
+    ca = raygen.camera_arrays(cam, W, H)
+    order_px, _ = pixel_table(W, H)
+    batch = raygen.primary(ca, W, H, jnp.asarray(order_px))
+    tri, t, u, v = (np.asarray(x) for x in jax.block_until_ready(
+        r.trace_primary(batch.orig, batch.dirn, batch.tmin, batch.tmax,
+                        cam=ca)))
+    rec = trace_cpu_golden(
+        flat, np.asarray(batch.orig), np.asarray(batch.dirn),
+        np.asarray(batch.tmin), np.asarray(batch.tmax))
+    diff = np.nonzero(tri != rec.tri)[0]
+    emit({"stage": "sibenik_diag", "engine": r.engine,
+          "raw_diffs": int(len(diff))})
+    tv = scene.tri_verts()
+    for i in diff[:32]:
+        td, tg = int(tri[i]), int(rec.tri[i])
+        rel = (abs(float(t[i]) - float(rec.t[i]))
+               / max(abs(float(rec.t[i])), 1e-30)
+               if td >= 0 and tg >= 0 else None)
+        ulps = (abs(int(np.float32(t[i]).view(np.int32))
+                    - int(np.float32(rec.t[i]).view(np.int32)))
+                if td >= 0 and tg >= 0 and np.isfinite(rec.t[i])
+                else None)
+        emit({"stage": "sibenik_diag_ray", "ray": int(i),
+              "dev": [td, float(t[i]), float(u[i]), float(v[i])],
+              "gold": [tg, float(rec.t[i]), float(rec.u[i]),
+                       float(rec.v[i])],
+              "rel_t_gap": rel, "t_ulps": ulps,
+              "shared_verts": (int(len(
+                  set(map(tuple, tv[td].tolist()))
+                  & set(map(tuple, tv[tg].tolist()))))
+                  if td >= 0 and tg >= 0 else None)})
+
+
+if __name__ == "__main__":
+    main()
