@@ -37,46 +37,62 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
-def main():
-    scene = get_scene("sibenik", n_tris=80_000)
-    bcfg = BuildConfig(builder="binned_sah", sah_tri_cost=0.02,
-                       max_leaf_size=48)
+def diag(scene_name, n_tris, builder, bkw):
+    scene = get_scene(scene_name, n_tris=n_tris)
+    bcfg = BuildConfig(builder=builder, **bkw)
     flat = build_accel(scene, bcfg, use_cache=True)
     r = Renderer(scene, bcfg, RenderConfig(
         width=W, height=H, mode="primary", packet_rows=16,
         engine="auto"), flat=flat)
-    cam = default_camera("sibenik")
+    cam = default_camera(scene_name)
     ca = raygen.camera_arrays(cam, W, H)
     order_px, _ = pixel_table(W, H)
     batch = raygen.primary(ca, W, H, jnp.asarray(order_px))
+    r.prepare_primary(ca, W, H)
     tri, t, u, v = (np.asarray(x) for x in jax.block_until_ready(
         r.trace_primary(batch.orig, batch.dirn, batch.tmin, batch.tmax,
                         cam=ca)))
+    gflat = r.flat if r.flat is not None else flat
     rec = trace_cpu_golden(
-        flat, np.asarray(batch.orig), np.asarray(batch.dirn),
+        gflat, np.asarray(batch.orig), np.asarray(batch.dirn),
         np.asarray(batch.tmin), np.asarray(batch.tmax))
     diff = np.nonzero(tri != rec.tri)[0]
-    emit({"stage": "sibenik_diag", "engine": r.engine,
-          "raw_diffs": int(len(diff))})
+    emit({"stage": f"{scene_name}_diag", "engine": r.engine,
+          "builder": builder, "raw_diffs": int(len(diff))})
     tv = scene.tri_verts()
+    # brute-force arbitration on the differing rays: the EXACT answer
+    # under raw-MT arithmetic (the dense/packet formulation), telling
+    # us which side's formulation-t ordering flipped the winner
+    from ntrace_tpu.bvh.golden import brute_force_mt
+
     for i in diff[:32]:
         td, tg = int(tri[i]), int(rec.tri[i])
-        rel = (abs(float(t[i]) - float(rec.t[i]))
-               / max(abs(float(rec.t[i])), 1e-30)
-               if td >= 0 and tg >= 0 else None)
+        bf = brute_force_mt(
+            scene, np.asarray(batch.orig)[i:i + 1],
+            np.asarray(batch.dirn)[i:i + 1],
+            np.asarray(batch.tmin)[i:i + 1],
+            np.asarray(batch.tmax)[i:i + 1])
         ulps = (abs(int(np.float32(t[i]).view(np.int32))
                     - int(np.float32(rec.t[i]).view(np.int32)))
                 if td >= 0 and tg >= 0 and np.isfinite(rec.t[i])
                 else None)
-        emit({"stage": "sibenik_diag_ray", "ray": int(i),
+        emit({"stage": f"{scene_name}_diag_ray", "ray": int(i),
               "dev": [td, float(t[i]), float(u[i]), float(v[i])],
               "gold": [tg, float(rec.t[i]), float(rec.u[i]),
                        float(rec.v[i])],
-              "rel_t_gap": rel, "t_ulps": ulps,
+              "brute_mt": [int(bf.tri[0]), float(bf.t[0])],
+              "t_ulps": ulps,
               "shared_verts": (int(len(
                   set(map(tuple, tv[td].tolist()))
                   & set(map(tuple, tv[tg].tolist()))))
                   if td >= 0 and tg >= 0 else None)})
+
+
+def main():
+    diag("sibenik", 80_000, "binned_sah",
+         dict(sah_tri_cost=0.02, max_leaf_size=48))
+    diag("conference", 280_000, "lbvh",
+         dict(max_leaf_size=32, sah_tri_cost=0.02))
 
 
 if __name__ == "__main__":
