@@ -127,7 +127,10 @@ def lbvh_build_marginal(scene, ml):
     return (walls[5] - walls[1]) / 4 * 1e3
 
 
+_only = os.environ.get("NTRACE_MATRIX_ONLY")
 for name, n, builder, extra, modes, samples in CONFIGS:
+    if _only and name not in _only.split(","):
+        continue
     try:
         t0 = time.time()
         scene = get_scene(name, n_tris=n)
