@@ -177,17 +177,24 @@ for name, n, builder, extra, modes, samples in CONFIGS:
         r.prepare_primary(ca, W, H)
 
         def chained_primary(k):
+            # fori_loop, not python unroll: the loop body is traced ONCE,
+            # so a K-chain of a multi-chunk forest embeds its pallas
+            # kernels once instead of K times -- the K=4 unrolled San
+            # Miguel module exceeded the remote-compile request cap
+            # (HTTP 413). Serialization via the tn2/acc carry is
+            # unchanged.
             @jax.jit
             def run(o, d, tn, tx):
-                acc = jnp.float32(0)
-                tn2 = tn
-                for _ in range(k):
+                def body(_, c):
+                    acc, tn2 = c
                     # canonical=True: batch built by raygen.primary(ca);
                     # traced inputs can't pass the contract reduce.
                     tri, t, u, v = r.trace_primary(o, d, tn2, tx, cam=ca,
                                                    canonical=True)
                     acc = acc + jnp.where(tri >= 0, t, 0.0).sum()
-                    tn2 = tn + 1e-12 * acc
+                    return acc, tn + 1e-12 * acc
+                acc, _ = jax.lax.fori_loop(
+                    0, k, body, (jnp.float32(0), tn))
                 return acc
             return run
 
@@ -222,14 +229,15 @@ for name, n, builder, extra, modes, samples in CONFIGS:
                 def chained_sec(k):
                     @jax.jit
                     def run(o, d, tn, tx):
-                        acc = jnp.float32(0)
-                        tn2 = tn
-                        for _ in range(k):
+                        def body(_, c):
+                            acc, tn2 = c
                             stri, st, su, sv = sec_tracer(
                                 o, d, tn2, tx, any_hit)
                             acc = acc + jnp.where(
                                 st < 3e37, st, 0.0).sum()
-                            tn2 = tn + 1e-12 * acc
+                            return acc, tn + 1e-12 * acc
+                        acc, _ = jax.lax.fori_loop(
+                            0, k, body, (jnp.float32(0), tn))
                         return acc
                     return run
 
