@@ -92,7 +92,12 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
                           tuned_kw: dict, dmin: int):
     """Tracer constructor for the packet-kernel family, shared by the
     single-chunk path and every forest chunk pass so the two cannot
-    drift in clamps or knobs. Returns f(o, d, tn, tx, any_hit)."""
+    drift in clamps or knobs. Returns f(o, d, tn, tx, any_hit[,
+    nodes_o, tris_o]) -- the optional trailing pair overrides the
+    bound tables with tracer-stage arrays, so a caller's jit can take
+    the tables as ARGUMENTS instead of closure constants (closure
+    capture embeds them in the lowered stablehlo: San Miguel's 791 MB
+    forest blew the axon remote-compile request cap, HTTP 413)."""
     if engine == "packet_bdl":
         from ntrace_tpu.trace.packet_bdl import trace_packet_bdl
 
@@ -102,9 +107,11 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
         if rc % qg != 0:
             qg = 1
 
-        def tr(o, d, tn, tx, any_hit):
+        def tr(o, d, tn, tx, any_hit, nodes_o=None, tris_o=None):
             return trace_packet_bdl(
-                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
+                nodes if nodes_o is None else nodes_o,
+                tris if tris_o is None else tris_o,
+                o, d, tn, tx, any_hit=any_hit, rows=rc,
                 interpret=interpret, tris_per_row=tpr, drain_min=dmin,
                 merge_sibs=ms, qgroup=qg)
     elif engine == "packet_dleaf":
@@ -112,9 +119,11 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
 
         rc = min(max(rows, 8), 32)
 
-        def tr(o, d, tn, tx, any_hit):
+        def tr(o, d, tn, tx, any_hit, nodes_o=None, tris_o=None):
             return trace_packet_dleaf(
-                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
+                nodes if nodes_o is None else nodes_o,
+                tris if tris_o is None else tris_o,
+                o, d, tn, tx, any_hit=any_hit, rows=rc,
                 interpret=interpret, tris_per_row=tpr, nodes_per_row=npr,
                 drain_min=dmin)
     elif engine == "packet_bfs":
@@ -122,9 +131,11 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
 
         rc = max(rows, 8)
 
-        def tr(o, d, tn, tx, any_hit):
+        def tr(o, d, tn, tx, any_hit, nodes_o=None, tris_o=None):
             return trace_packet_bfs(
-                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rc,
+                nodes if nodes_o is None else nodes_o,
+                tris if tris_o is None else tris_o,
+                o, d, tn, tx, any_hit=any_hit, rows=rc,
                 interpret=interpret, tris_per_row=tpr, leaf_unroll=lu)
     elif engine == "packet":
         from ntrace_tpu.trace.packet_pallas import trace_packet
@@ -138,9 +149,11 @@ def _packet_family_tracer(engine: str, nodes, tris, *, tpr: int, npr: int,
         pk_kw = {k: v for k, v in tuned_kw.items()
                  if k in ("leafbc", "slabbc")}
 
-        def tr(o, d, tn, tx, any_hit):
+        def tr(o, d, tn, tx, any_hit, nodes_o=None, tris_o=None):
             return trace_packet(
-                nodes, tris, o, d, tn, tx, any_hit=any_hit, rows=rows,
+                nodes if nodes_o is None else nodes_o,
+                tris if tris_o is None else tris_o,
+                o, d, tn, tx, any_hit=any_hit, rows=rows,
                 interpret=interpret, order="code", tris_per_row=tpr,
                 nodes_per_row=npr, leaf_unroll=lu, interleave=ilv,
                 **pk_kw)
@@ -733,19 +746,22 @@ class Renderer:
             end = jnp.fmin(jnp.fmax(t0, t1).min(axis=1), tx)
             return begin <= end
 
-        def _chunk_trace(c, o, d, tn, tx_k, any_hit):
+        def _chunk_trace(c, nt, o, d, tn, tx_k, any_hit):
             """One chunk pass with the selected batch-family kernel --
             built by the SAME constructor as the single-chunk path
-            (identical results across schedules; tests/test_packet.py)."""
+            (identical results across schedules; tests/test_packet.py).
+            nt: optional (nodes, tris) tracer-stage override from the
+            caller's `tables=` argument (see device_tables)."""
             if "tracer" not in c:
                 c["tracer"] = _packet_family_tracer(
                     engine, c["nodes"], c["tris"], tpr=c["tpr"],
                     npr=c["npr"], lu=c["lu"], rows=rows,
                     interpret=interpret, tuned_kw=self.tuned_kw,
                     dmin=self.tuned_dmin)
-            return c["tracer"](o, d, tn, tx_k, any_hit)
+            no, to = (nt if nt is not None else (None, None))
+            return c["tracer"](o, d, tn, tx_k, any_hit, no, to)
 
-        def _tracer(o, d, tn, tx, any_hit):
+        def _tracer(o, d, tn, tx, any_hit, tables=None):
             # Miss conventions match the single-chunk kernel: tri=-1, t=tmax,
             # u=v=0 (chunk passes run with masked tmax, so their miss values
             # must not leak into the result).
@@ -781,7 +797,7 @@ class Renderer:
             zero = jnp.zeros_like(tn)
             best = [jnp.full(tn.shape, -1, jnp.int32), tx, zero, zero]
             cur_tx = tx
-            for c in self.forest:
+            for ci, c in enumerate(self.forest):
                 # Between-pass compaction (the reference's dynamic-fetch
                 # capability, SURVEY.md SS3.3): rays whose live segment
                 # misses this chunk's bbox -- finished any-hit rays,
@@ -793,7 +809,8 @@ class Renderer:
                 live = _seg_hits(o, d, tn, cur_tx, c["lo"], c["hi"])
                 tx_k = jnp.where(live, cur_tx, tn)
                 tri_k, t_k, u_k, v_k = _chunk_trace(
-                    c, o, d, tn, tx_k, any_hit)
+                    c, tables[ci] if tables else None,
+                    o, d, tn, tx_k, any_hit)
                 got = tri_k >= 0
                 # Chunk k ran with tmax = best-so-far t, so any hit it
                 # reports is strictly closer (or the ray was dead).
@@ -812,6 +829,28 @@ class Renderer:
             return tuple(best)
 
         return _tracer
+
+    def device_tables(self):
+        """Forest chunk tables as a pytree for passing through an outer
+        jit's ARGUMENTS (`trace_primary(..., tables=...)`) instead of
+        closure capture. Closure-captured tables embed in the lowered
+        stablehlo as literal constants; at San Miguel scale (791 MB of
+        chunk tables, 7 chunks) the serialized module exceeded the axon
+        remote-compile request cap (HTTP 413, r5 matrix). Empty tuple
+        for non-forest engines, where capture is cheap (<~200 MB) --
+        callers can pass the result unconditionally."""
+        if getattr(self, "forest", None):
+            return tuple((c["nodes"], c["tris"]) for c in self.forest)
+        return ()
+
+    def _tracer_with(self, tables):
+        """self._tracer with `tables` bound when provided (forest engine
+        only -- other engines have no tables kwarg and `tables` is ()
+        for them)."""
+        if not tables:
+            return self._tracer
+        return (lambda o, d, tn, tx, any_hit:
+                self._tracer(o, d, tn, tx, any_hit, tables=tables))
 
     def prepare_primary(self, cam: dict, width: int, height: int) -> bool:
         """Arm the bin-raster primary engine for (cam, W, H): pick the
@@ -1012,7 +1051,7 @@ class Renderer:
         return jnp.where(ok, tri, -2), t, u, v
 
     def trace_primary(self, orig, dirn, tmin, tmax, cam=None,
-                      canonical=None):
+                      canonical=None, tables=None):
         """Primary-ray closest-hit trace with the configured seeding policy
         (shared by render() and bench.py so the headline measures the same
         path users get). cam: optional camera_arrays dict -- required for
@@ -1058,11 +1097,12 @@ class Renderer:
         sp = self.cfg.seed_primary
         use_seed = sp == "on" or (sp == "auto"
                                   and self.engine.startswith("packet"))
+        tracer = self._tracer_with(tables)
         if use_seed and orig.shape[0] <= self._cap() \
                 and orig.shape[0] >= 16 * 4:
-            return seeded_closest_trace(self._tracer, orig, dirn, tmin, tmax)
+            return seeded_closest_trace(tracer, orig, dirn, tmin, tmax)
         batch = RayBatch(orig, dirn, tmin, tmax)
-        return _trace_batched(self._tracer, batch, self._cap(), False)
+        return _trace_batched(tracer, batch, self._cap(), False)
 
     def _binraster_contract_ok(self, orig, tmin, tmax, cam):
         """One cheap device reduce verifying the bin-raster preconditions
@@ -1322,11 +1362,13 @@ class Renderer:
                   file=sys.stderr)
         return self._sub_tr
 
-    def _secondary_tracer(self, long_rays: bool):
+    def _secondary_tracer(self, long_rays: bool, tables=None):
         """The tracer secondary passes should use: subset-seeded for long
         incoherent closest-hit bounces when configured, else the plain
         engine tracer. Any-hit calls always pass through unseeded (they
-        already early-out on the first hit)."""
+        already early-out on the first hit). tables: optional forest
+        chunk tables from device_tables(), for callers whose jit takes
+        them as arguments."""
         cfg = self.cfg
         # auto is MEASUREMENT-gated, not heuristic: the r5 fairy device
         # A/B (results_r5_session3.json) priced subset seeding as a NET
@@ -1338,16 +1380,17 @@ class Renderer:
               or (cfg.seed_secondary == "auto" and long_rays
                   and self.engine.startswith("packet")
                   and bool(_load_tuned().get("seed_secondary_on"))))
+        base = self._tracer_with(tables)
         if not on:
-            return self._tracer
+            return base
         sub = self._subset_tracer()
         if sub is None:
-            return self._tracer
+            return base
 
         def tr(o, d, tn, tx, any_hit):
             if any_hit:
-                return self._tracer(o, d, tn, tx, True)
-            return subset_seeded_trace(self._tracer, sub, o, d, tn, tx)
+                return base(o, d, tn, tx, True)
+            return subset_seeded_trace(base, sub, o, d, tn, tx)
 
         return tr
 

@@ -175,6 +175,13 @@ for name, n, builder, extra, modes, samples in CONFIGS:
         order_px, _ = pixel_table(W, H)
         batch = raygen.primary(ca, W, H, jnp.asarray(order_px))
         r.prepare_primary(ca, W, H)
+        # Forest chunk tables ride the jit's ARGUMENTS, not closure
+        # capture: captured tables embed in the lowered stablehlo as
+        # literals, and San Miguel's 791 MB of chunk tables exceeded
+        # the axon remote-compile request body cap (HTTP 413 -- the
+        # fori_loop fix below was necessary but not sufficient). Empty
+        # tuple for non-forest engines.
+        tables = r.device_tables()
 
         def chained_primary(k):
             # fori_loop, not python unroll: the loop body is traced ONCE,
@@ -184,13 +191,14 @@ for name, n, builder, extra, modes, samples in CONFIGS:
             # (HTTP 413). Serialization via the tn2/acc carry is
             # unchanged.
             @jax.jit
-            def run(o, d, tn, tx):
+            def run(o, d, tn, tx, tables):
                 def body(_, c):
                     acc, tn2 = c
                     # canonical=True: batch built by raygen.primary(ca);
                     # traced inputs can't pass the contract reduce.
                     tri, t, u, v = r.trace_primary(o, d, tn2, tx, cam=ca,
-                                                   canonical=True)
+                                                   canonical=True,
+                                                   tables=tables)
                     acc = acc + jnp.where(tri >= 0, t, 0.0).sum()
                     return acc, tn + 1e-12 * acc
                 acc, _ = jax.lax.fori_loop(
@@ -198,7 +206,7 @@ for name, n, builder, extra, modes, samples in CONFIGS:
                 return acc
             return run
 
-        pargs = (batch.orig, batch.dirn, batch.tmin, batch.tmax)
+        pargs = (batch.orig, batch.dirn, batch.tmin, batch.tmax, tables)
         prim_mrays, prim_ms, prim_wall1 = marginal_mrays(
             chained_primary, batch.num_rays, pargs)
         print(f"[{name}] primary marginal {prim_ms:.1f} ms "
@@ -223,12 +231,12 @@ for name, n, builder, extra, modes, samples in CONFIGS:
                 # The tracer render() actually uses for this mode:
                 # subset-seeded for long incoherent closest-hit bounces
                 # (seed pass runs INSIDE the chain -- honest marginal).
-                sec_tracer = r._secondary_tracer(
-                    long_rays=(mode == "diffuse"))
-
                 def chained_sec(k):
                     @jax.jit
-                    def run(o, d, tn, tx):
+                    def run(o, d, tn, tx, tables):
+                        sec_tracer = r._secondary_tracer(
+                            long_rays=(mode == "diffuse"), tables=tables)
+
                         def body(_, c):
                             acc, tn2 = c
                             stri, st, su, sv = sec_tracer(
@@ -241,7 +249,7 @@ for name, n, builder, extra, modes, samples in CONFIGS:
                         return acc
                     return run
 
-                sargs = (sec.orig, sec.dirn, sec.tmin, sec.tmax)
+                sargs = (sec.orig, sec.dirn, sec.tmin, sec.tmax, tables)
                 m, ms, w1 = marginal_mrays(chained_sec, sec.num_rays, sargs)
                 entry[f"mrays_{mode}"] = round(m, 2)
                 entry[f"marginal_{mode}_ms"] = round(ms, 2)
