@@ -275,6 +275,30 @@ class RenderConfig:
     #                            r5 fairy A/B measured seeding as a net
     #                            loss on forest diffuse)
     seed_subset: int = 16  # subset stride for seed_secondary
+    stage_secondary: str = "auto"  # EXACT multi-interval decomposition of
+    #                            long incoherent closest-hit bounces
+    #                            (diffuse/path): a short-tmax near pass
+    #                            (AO-class traversal economics) resolves
+    #                            rays whose closest hit lies within
+    #                            stage_radii x scene_scale of the origin
+    #                            -- a hit under tmax = tn + r IS the
+    #                            global closest, since traversal bounded
+    #                            by r is exhaustive within [tn, tn + r).
+    #                            Unresolved lanes are dead-marked (never
+    #                            sorted/compacted) so the following
+    #                            passes' packet unions shrink to the few
+    #                            live lanes; the last pass re-covers the
+    #                            FULL interval, so boundary rounding at
+    #                            the stage cut is never consulted
+    #                            (render/renderer.py
+    #                            staged_closest_trace). "on" | "off" |
+    #                            "auto" (auto engages only when a device
+    #                            sweep wrote stage_secondary_on into
+    #                            tuned.json -- same measurement gate as
+    #                            seed_secondary).
+    stage_radii: tuple = (0.05,)  # near-interval lengths, as fractions of
+    #                            scene scale, ascending; the full
+    #                            interval is appended implicitly
     compact_forest: str = "auto"  # chunk-membership ray compaction in the
     #                            multi-chunk forest path (the reference's
     #                            kepler_dynamic_fetch capability, SURVEY.md

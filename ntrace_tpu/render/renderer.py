@@ -286,6 +286,54 @@ def subset_seeded_trace(tracer, sub_tracer, orig, dirn, tmin, tmax):
         for a, b in zip((tri1, t1, u1, v1), (tri2, t2, u2, v2)))
 
 
+def staged_closest_trace(tracer, orig, dirn, tmin, tmax, radii):
+    """EXACT multi-interval closest-hit trace for long incoherent rays.
+
+    The reference's per-ray kernels win on incoherent rays because each
+    ray's traversal is bounded by its own running hitT; a packet kernel
+    walks the UNION of its rays' segments, and full-length bounce rays
+    make that union the whole scene (fairy diffuse 6.5 vs AO 117 on the
+    same kernel). Decomposing the interval restores the bound at packet
+    granularity:
+
+      pass k: trace [tn, tn + radii[k]) -- AO-class traversal economics.
+        A hit here IS the global closest: traversal with tmax clamped to
+        the cut is exhaustive within the interval, and every candidate
+        beyond it has strictly larger t.
+      resolved lanes are DEAD-MARKED in place (tmax = tmin) for later
+        passes -- no sort, no compaction; a mostly-dead packet's union
+        shrinks to its few live lanes (the seeded_closest_trace fixup
+        mechanism).
+      final pass: unresolved lanes re-cover the FULL [tn, tx), so
+        rounding at the stage cuts is never consulted; a lane with its
+        closest hit exactly AT a cut (excluded by the stage's strict
+        t < tmax) is recovered here with the true (t, lowest-id)
+        tie-break.
+
+    radii: ascending absolute near-interval lengths (world units).
+    Returns (tri, t, u, v) bit-identical to tracer(o, d, tn, tx, False)
+    on hits and hit ids (miss t follows the plain trace's convention via
+    the final pass).
+    """
+    res = None
+    acc = None
+    for rc in radii:
+        t1 = jnp.minimum(tmax, tmin + jnp.float32(rc))
+        txk = t1 if res is None else jnp.where(res, tmin, t1)
+        cur = tracer(orig, dirn, tmin, txk, False)
+        got = cur[0] >= 0
+        now = got | (t1 >= tmax)
+        if acc is None:
+            acc, res = list(cur), now
+        else:
+            new = ~res & now
+            acc = [jnp.where(new, c, a) for c, a in zip(cur, acc)]
+            res = res | now
+    txf = jnp.where(res, tmin, tmax)
+    fin = tracer(orig, dirn, tmin, txf, False)
+    return tuple(jnp.where(res, a, f) for a, f in zip(acc, fin))
+
+
 def _trace_batched(tracer, batch: RayBatch, cap: int, any_hit: bool):
     """Loop the tracer over <=cap-ray chunks (the in-flight ray cap).
 
@@ -1381,6 +1429,20 @@ class Renderer:
                   and self.engine.startswith("packet")
                   and bool(_load_tuned().get("seed_secondary_on"))))
         base = self._tracer_with(tables)
+        st_on = (cfg.stage_secondary == "on"
+                 or (cfg.stage_secondary == "auto" and long_rays
+                     and self.engine.startswith("packet")
+                     and bool(_load_tuned().get("stage_secondary_on"))))
+        if st_on:
+            radii = tuple(float(f) * self.scene_scale
+                          for f in cfg.stage_radii)
+
+            def tr_staged(o, d, tn, tx, any_hit):
+                if any_hit:
+                    return base(o, d, tn, tx, True)
+                return staged_closest_trace(base, o, d, tn, tx, radii)
+
+            return tr_staged
         if not on:
             return base
         sub = self._subset_tracer()

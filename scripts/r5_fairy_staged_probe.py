@@ -115,17 +115,28 @@ def main():
     emit({"stage": "fairy_diffuse_control", "mrays": R / 1e6 / m,
           "marginal_ms": m * 1e3, "wall1_ms": w1 * 1e3, "compile_s": cs})
 
-    # Near-pass cost + resolve fraction per radius.
+    # End-to-end staged trace per radius: near pass with tmax clamped to
+    # tn + r, then a far pass with RESOLVED LANES DEAD-MARKED in place
+    # (tx2 = tn). No sort, no compaction: a mostly-dead packet's
+    # traversal union shrinks to its few live lanes, the same mechanism
+    # that makes seeded_closest_trace's fixup pass cheap. Exact: a near
+    # hit IS the global closest (traversal with tmax = t1 is exhaustive
+    # within [tn, t1)); unresolved rays retrace their FULL interval, so
+    # boundary rounding at t1 is never consulted.
     for frac in (0.02, 0.05, 0.1, 0.2):
         rc = jnp.float32(frac * scale)
 
-        def near(k, rc=rc):
+        def staged(k, rc=rc):
             @jax.jit
             def run(o, d, tn, tx):
                 def body(_, c):
                     acc, tn2 = c
                     t1 = jnp.minimum(tx, tn2 + rc)
-                    stri, st, *_ = tr(o, d, tn2, t1, False)
+                    tri1, st1, *_ = tr(o, d, tn2, t1, False)
+                    resolved = (tri1 >= 0) | (t1 >= tx)
+                    tx2 = jnp.where(resolved, tn2, tx)
+                    tri2, st2, *_ = tr(o, d, tn2, tx2, False)
+                    st = jnp.where(resolved, st1, st2)
                     acc = acc + jnp.where(st < 3e37, st, 0.0).sum()
                     return acc, tn + 1e-12 * acc
                 acc, _ = jax.lax.fori_loop(0, k, body,
@@ -133,62 +144,63 @@ def main():
                 return acc
             return run
 
-        m, w1, cs = marginal(near, args)
+        m, w1, cs = marginal(staged, args)
         t1 = jnp.minimum(sec.tmax, sec.tmin + rc)
         stri, *_ = tr(sec.orig, sec.dirn, sec.tmin, t1, False)
         resolved = (stri >= 0) | (t1 >= sec.tmax)
-        emit({"stage": f"fairy_near_{frac}", "mrays": R / 1e6 / m,
+        emit({"stage": f"fairy_staged_{frac}", "mrays": R / 1e6 / m,
               "marginal_ms": m * 1e3,
               "resolve_frac": float(resolved.mean()),
               "unresolved": int(R - jnp.sum(resolved)),
               "compile_s": cs})
 
-    # Far-pass cost curve: true unresolved remainder at r=5%, compacted
-    # (unresolved first, original coherence order within class), then
-    # traced at power-of-two prefix sizes.
-    rc = jnp.float32(0.05 * scale)
-    t1 = jnp.minimum(sec.tmax, sec.tmin + rc)
-    stri, *_ = tr(sec.orig, sec.dirn, sec.tmin, t1, False)
-    resolved = (stri >= 0) | (t1 >= sec.tmax)
-    iota = jnp.arange(R, dtype=jnp.int32)
-    ops = jax.lax.sort(
-        (resolved.astype(jnp.int32), iota,
-         sec.orig[:, 0], sec.orig[:, 1], sec.orig[:, 2],
-         sec.dirn[:, 0], sec.dirn[:, 1], sec.dirn[:, 2],
-         sec.tmin, sec.tmax), num_keys=2)
-    of = jnp.stack(ops[2:5], axis=1)
-    df = jnp.stack(ops[5:8], axis=1)
-    tnf, txf = ops[8], ops[9]
-    n_un = int(R - jnp.sum(resolved))
-    for F in (1 << 18, 1 << 19, 1 << 20):
-        fargs = (of[:F], df[:F], tnf[:F], txf[:F])
-        m, w1, cs = marginal(chain_tracer(tr, False), fargs)
-        emit({"stage": f"fairy_far_{F}", "mrays": F / 1e6 / m,
-              "marginal_ms": m * 1e3, "covers_unresolved": F >= n_un,
-              "unresolved": n_un, "compile_s": cs})
+    # Three-stage variant at the probe-best radius pair (r, 4r): the
+    # mid pass re-covers [tn, 4r) for near-unresolved lanes only.
+    rc1, rc2 = jnp.float32(0.05 * scale), jnp.float32(0.2 * scale)
 
-    # Sort overhead (the staged path pays one 10-op forward + one 5-op
-    # unsort per bounce).
-    def sorter(k):
+    def staged3(k):
         @jax.jit
         def run(o, d, tn, tx):
             def body(_, c):
                 acc, tn2 = c
-                ops = jax.lax.sort(
-                    ((tx > tn2).astype(jnp.int32), iota,
-                     o[:, 0], o[:, 1], o[:, 2],
-                     d[:, 0], d[:, 1], d[:, 2], tn2, tx), num_keys=2)
-                back = jax.lax.sort((ops[1], ops[2], ops[8], ops[9]),
-                                    num_keys=1)
-                acc = acc + back[1].sum() * 1e-9 + back[2].sum() * 1e-9
+                t1 = jnp.minimum(tx, tn2 + rc1)
+                tri1, st1, *_ = tr(o, d, tn2, t1, False)
+                res1 = (tri1 >= 0) | (t1 >= tx)
+                t2 = jnp.minimum(tx, tn2 + rc2)
+                tri2, st2, *_ = tr(o, d, tn2,
+                                   jnp.where(res1, tn2, t2), False)
+                res2 = res1 | (tri2 >= 0) | (t2 >= tx)
+                tri3, st3, *_ = tr(o, d, tn2,
+                                   jnp.where(res2, tn2, tx), False)
+                st = jnp.where(res1, st1, jnp.where(res2, st2, st3))
+                acc = acc + jnp.where(st < 3e37, st, 0.0).sum()
                 return acc, tn + 1e-12 * acc
             acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0), tn))
             return acc
         return run
 
-    m, w1, cs = marginal(sorter, args)
-    emit({"stage": "fairy_stage_sorts", "marginal_ms": m * 1e3,
-          "compile_s": cs})
+    m, w1, cs = marginal(staged3, args)
+    emit({"stage": "fairy_staged3_0.05_0.2", "mrays": R / 1e6 / m,
+          "marginal_ms": m * 1e3, "compile_s": cs})
+
+    # Exactness gate: staged result must be BIT-IDENTICAL to the plain
+    # trace (device vs device -- same kernel, same arithmetic).
+    rc = jnp.float32(0.05 * scale)
+    t1 = jnp.minimum(sec.tmax, sec.tmin + rc)
+    tri1, st1, su1, sv1 = tr(sec.orig, sec.dirn, sec.tmin, t1, False)
+    resolved = (tri1 >= 0) | (t1 >= sec.tmax)
+    tx2 = jnp.where(resolved, sec.tmin, sec.tmax)
+    tri2, st2, su2, sv2 = tr(sec.orig, sec.dirn, sec.tmin, tx2, False)
+    g = [jnp.where(resolved, a, b)
+         for a, b in ((tri1, tri2), (st1, st2), (su1, su2), (sv1, sv2))]
+    p = tr(sec.orig, sec.dirn, sec.tmin, sec.tmax, False)
+    # Miss t conventions may differ between dead-marked (t = tn) and
+    # plain (t = tx) lanes; compare hits on tri ids + hit-lane t bits.
+    mism = int(jnp.sum(g[0] != p[0]))
+    hit = p[0] >= 0
+    tmism = int(jnp.sum(hit & (g[1] != p[1])))
+    emit({"stage": "fairy_staged_exact", "tri_mism": mism,
+          "t_mism_on_hits": tmism, "nrays": R})
 
 
 if __name__ == "__main__":
