@@ -976,7 +976,18 @@ class Renderer:
         if total + n_mid > max_pairs:
             self._br = None
             return False
-        p_max = _bd.pick_cap(total + n_mid, 16 * _bd.TPT)
+        sort_mode = str(tuned.get("br2_sort", "s11"))
+        n_ks = ()
+        if sort_mode == "v5":
+            # v5's prefix-slice emission needs the N_k histogram; size
+            # p_max over the quantized slice sum (>= the true total).
+            _, hist, _ = _bd.count_hist_dense(
+                self._br_verts, cam, width=width, height=height,
+                tile=tile, k_cap=k_cap)
+            n_ks = _bd.pick_nks(np.asarray(hist))
+            p_max = _bd.pick_cap(sum(n_ks), 16 * _bd.TPT)
+        else:
+            p_max = _bd.pick_cap(total + n_mid, 16 * _bd.TPT)
         g2_max = _bd.pick_cap(n_g, _bd.TPT, pad=_bd.TPT) if n_g else 0
         nb = txn * tyn
         self._br = {
@@ -986,7 +997,7 @@ class Renderer:
             "p_max": p_max, "g2_max": g2_max,
             "ez_chunk": int(tuned.get("br2_ez", 0)),
             "tpv": int(tuned.get("br2_tpv", 1)),
-            "sort_mode": str(tuned.get("br2_sort", "s11")),
+            "sort_mode": sort_mode, "n_ks": n_ks,
             "kernel": str(tuned.get("br2_kernel", "walk")),
             "v_cap": _bd.visit_cap(p_max, nb, g2_max),
             "mcodes": jnp.asarray(mcodes),
@@ -995,14 +1006,17 @@ class Renderer:
         return True
 
     def _dense_prep(self, verts, cam):
-        """Run the armed dense prep (v3 sg/s11 or v4 per the br2_sort
-        knob) with the armed static caps."""
+        """Run the armed dense prep (v3 sg/s11, v4, or v5 slices per the
+        br2_sort knob) with the armed static caps."""
         from ntrace_tpu.trace import binraster_dense as _bd
 
         c = self._br
         kw = dict(width=c["width"], height=c["height"], tile=c["tile"],
                   k_cap=c["k_cap"], p_max=c["p_max"], g2_max=c["g2_max"],
                   z_bits=c["z_bits"])
+        if c["sort_mode"] == "v5":
+            return _bd.binraster_prep_dense5(verts, cam, c["mcodes"],
+                                             n_ks=c["n_ks"], **kw)
         if c["sort_mode"] == "v4":
             return _bd.binraster_prep_dense4(verts, cam, c["mcodes"], **kw)
         return _bd.binraster_prep_dense3(verts, cam, c["mcodes"],

@@ -108,6 +108,22 @@ def count_pairs_dense(verts, cam, *, width, height, tile, k_slots,
             jnp.sum(over2.astype(jnp.int32)))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile", "k_cap"))
+def count_hist_dense(verts, cam, *, width, height, tile, k_cap=64):
+    """Arm pass for prep v5: (total pairs, N_k histogram, global-tier
+    count) where N_k = #{included tris with cnt > k} for k < k_cap."""
+    *_, cnt, _ = _counts(verts, cam, width=width, height=height,
+                         tile=tile)
+    over2 = cnt > k_cap
+    cntc = jnp.where(over2 | (cnt <= 0), 0, cnt)
+    ks = jnp.arange(k_cap, dtype=jnp.int32)
+    hist = jnp.sum((cntc[:, None] > ks[None, :]).astype(jnp.int32),
+                   axis=0)
+    return (jnp.sum(cntc), hist,
+            jnp.sum(over2.astype(jnp.int32)))
+
+
 def _pack_dense(skey, lanes, zdec, p_cap):
     """(p_cap,) sorted pairs -> (p_cap//88 * 8, 128) dense tiles.
 
@@ -550,6 +566,184 @@ def binraster_prep_dense4(verts, cam, mcodes, *, width, height, tile,
     rows = jnp.concatenate([grows, rows_b], axis=0)
     return (rows, row0 + gnt, row1 + gnt,
             g_r1.reshape(1).astype(jnp.int32), ok)
+
+
+# --------------------------------------------------------------------------
+# prep v5 "slices": zero-gather emission via prefix slices of a
+# cnt-descending triangle sort
+#
+# The r5 gather-formulation sweep (PERF_NOTES round-5 session 2) proved
+# the DYNAMIC-INDEX ROW GATHER is the prep's irreducible XLA cost class
+# (~0.3 ms/lane + fixed, 14-19 ns/row) while SORT PAYLOAD OPERANDS cost
+# ~+0.1 ms each and static slices/concats are plain copies. v5 therefore
+# removes every gather from the pipeline:
+#
+#   1. ONE triangle-level sort by DESCENDING bin count (i32 key
+#      -cnt; culled / global-tier tris keyed to the end) carrying all 13
+#      per-tri channels (9 vert-coord bit patterns, tid, packed rect,
+#      truncated z, cnt) -- n-sized, so its payload tax is paid at
+#      ~n/p of the pair-level rate.
+#   2. Pair emission by STATIC PREFIX SLICES: after the sort, the first
+#      N_k = #{cnt > k} rows are EXACTLY the tris covering more than k
+#      bins, so slice k of length >= N_k (arm-time quantized static,
+#      validity-masked by the riding cnt channel) enumerates every
+#      (tri, k-th bin) pair with zero waste and zero gather -- a pure
+#      concat of row slices. The slice index IS k.
+#   3. The usual pair-level key sort (11 operands -- measured ~2 ms at
+#      the compact count) orders pairs by (bin Morton << z_bits) | z and
+#      carries the payload to _pack_dense.
+#
+# Output contract, exactness and tie behavior identical to
+# binraster_prep_dense3: the emitted pair MULTISET is the same (every
+# included tri x its covered bins), bins only cull, pad rows carry
+# tid=-1, and the kernel's lex (t, tri) min is visit-order invariant --
+# so any within-key ordering difference vs v3 cannot change a pixel.
+# n_ks: arm-time slice lengths, one per k, each >= the true N_k (the
+# in-graph `ok` re-checks this; quantized lengths only add masked pad).
+# Callers size p_max >= sum(n_ks) (pick_cap over the emitted slot count)
+# -- a truncated emission would drop real pairs, so the trace statically
+# forces ok=False if the caps ever disagree.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "p_max", "k_cap",
+                     "g2_max", "z_bits", "n_ks"))
+def binraster_prep_dense5(verts, cam, mcodes, *, width, height, tile,
+                          p_max, n_ks, k_cap=64, g2_max=0, z_bits=12):
+    n = verts.shape[0]
+    zshift = 32 - z_bits
+    zmask = (1 << z_bits) - 1
+    SENT = jnp.int32(0x7FFFFFFF)
+    tx0, tx1, ty0, ty1, cnt, zmin = _counts(
+        verts, cam, width=width, height=height, tile=tile)
+    wbin = tx1 - tx0 + 1
+    zsafe = jnp.maximum(zmin * (1.0 - Z_MARGIN), 0.0)
+    zb = ((jax.lax.bitcast_convert_type(zsafe, jnp.int32) >> zshift)
+          & zmask)
+    over2 = cnt > k_cap
+    incl = ~over2 & (cnt > 0)
+    cntc = jnp.where(incl, cnt, 0)
+    total = jnp.sum(cntc)
+
+    # 1. cnt-descending tri sort, payload riding as operands.
+    skey = jnp.where(incl, -cnt, SENT)
+    v0 = verts[:, 0]
+    chans = [jax.lax.bitcast_convert_type(v0[:, c], jnp.int32)
+             for c in range(3)]
+    chans += [jax.lax.bitcast_convert_type(
+        verts[:, 1, c] - v0[:, c], jnp.int32) for c in range(3)]
+    chans += [jax.lax.bitcast_convert_type(
+        verts[:, 2, c] - v0[:, c], jnp.int32) for c in range(3)]
+    chans += [jnp.arange(n, dtype=jnp.int32),          # tid
+              tx0 | (ty0 << 10) | (wbin << 20),        # packed rect
+              zb, cntc]
+    srt = jax.lax.sort((skey,) + tuple(chans), num_keys=1)
+    tri_tbl = jnp.stack(srt[1:], axis=1)               # (n, 13)
+
+    # 2. Prefix-slice emission: slice k = first n_ks[k] rows, k-index
+    #    static per slice. Pure row-slice concat; no gather.
+    nk_max = max(n_ks) if n_ks else 0
+    if nk_max > n:   # quantized slice longer than the table: pad rows
+        pad = jnp.zeros((nk_max - n, 13), jnp.int32)   # cnt=0 -> masked
+        tri_tbl = jnp.concatenate([tri_tbl, pad], axis=0)
+    parts = [tri_tbl[:nk] for nk in n_ks]
+    kcol = jnp.concatenate(
+        [jnp.full((nk,), k, jnp.int32) for k, nk in enumerate(n_ks)])
+    pairs = jnp.concatenate(parts, axis=0)
+    e = pairs.shape[0]
+    caps_ok = e <= p_max   # static; arm sizes p_max over sum(n_ks)
+    if e < p_max:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((p_max - e, 13), jnp.int32)], axis=0)
+        kcol = jnp.concatenate(
+            [kcol, jnp.zeros((p_max - e,), jnp.int32)])
+    elif not caps_ok:
+        # Truncation would drop real pairs; force the fallback path.
+        pairs, kcol = pairs[:p_max], kcol[:p_max]
+
+    valid = kcol < pairs[:, 12]
+    ch1 = pairs[:, 10]
+    tx0p, ty0p = ch1 & 1023, (ch1 >> 10) & 1023
+    wp = jnp.maximum((ch1 >> 20) & 2047, 1)
+    bx = tx0p + kcol % wp
+    by = ty0p + kcol // wp
+    mc = ((_part1by1(jnp, by) << jnp.uint32(1))
+          | _part1by1(jnp, bx)).astype(jnp.int32)
+    key = jnp.where(valid, (mc << z_bits) | pairs[:, 11], SENT)
+
+    # 3. Pair-level key sort carrying payload (the measured-cheap mover).
+    psrt = jax.lax.sort(
+        (key,) + tuple(pairs[:, c] for c in range(9)) + (pairs[:, 9],),
+        num_keys=1)
+    skey2 = psrt[0]
+    svalid = skey2 != SENT
+    lanes = jnp.stack(
+        [jax.lax.bitcast_convert_type(b, jnp.float32) for b in psrt[1:10]]
+        + [jnp.where(svalid, psrt[10], -1).astype(jnp.float32)], axis=1)
+    zdec = jax.lax.bitcast_convert_type(
+        (skey2 & zmask) << zshift, jnp.float32)
+    zdec = jnp.where(svalid, zdec, INF)
+    rows_b = _pack_dense(skey2, lanes, zdec, p_max)
+
+    sgroup = skey2 >> z_bits
+    gt = sgroup.reshape(p_max // TPT, TPT)
+    row0 = jnp.searchsorted(gt[:, TPT - 1], mcodes,
+                            side="left").astype(jnp.int32)
+    row1 = jnp.searchsorted(gt[:, 0], mcodes,
+                            side="right").astype(jnp.int32)
+    # ok: every pair emitted (slice k covered all cnt > k tris) and the
+    # caps hold. N_k true = #{cnt > k}; checked against the static n_ks.
+    ks = jnp.arange(len(n_ks), dtype=jnp.int32)
+    nk_true = jnp.sum((cntc[:, None] > ks[None, :]).astype(jnp.int32),
+                      axis=0)
+    nk_static = jnp.asarray(list(n_ks), jnp.int32)
+    ok = ((total <= p_max) & jnp.all(nk_true <= nk_static)
+          & (jnp.max(cntc) <= len(n_ks)) & caps_ok
+          & (jnp.sum(over2.astype(jnp.int32)) <= g2_max))
+    if g2_max == 0:
+        return rows_b, row0, row1, None, ok
+
+    # Walked global tier (z-ascending), as v3.
+    okey2 = jnp.where(over2, zb, SENT)
+    sok2, g2i = jax.lax.sort(
+        (okey2, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    g2k, g2i = sok2[:g2_max], g2i[:g2_max]
+    g2valid = g2k != SENT
+    g2v = verts[g2i]
+    g2v0 = g2v[:, 0]
+    glanes = jnp.concatenate([
+        g2v0, g2v[:, 1] - g2v0, g2v[:, 2] - g2v0,
+        jnp.where(g2valid, g2i, -1).astype(jnp.float32)[:, None],
+    ], axis=1)
+    gzdec = jax.lax.bitcast_convert_type(g2k << zshift, jnp.float32)
+    gzdec = jnp.where(g2valid, gzdec, INF)
+    grows = _pack_dense(g2k, glanes, gzdec, g2_max)
+    g_r1 = ((jnp.minimum(jnp.sum(over2.astype(jnp.int32)), g2_max)
+             + TPT - 1) // TPT)
+    gnt = g2_max // TPT
+    rows = jnp.concatenate([grows, rows_b], axis=0)
+    return (rows, row0 + gnt, row1 + gnt,
+            g_r1.reshape(1).astype(jnp.int32), ok)
+
+
+def pick_nks(cnt_hist, quantum: int = 2048, slack: float = 1.05,
+             pad: int = 64):
+    """Arm-time slice lengths for prep v5 from the count pass.
+
+    cnt_hist: host int array where cnt_hist[k] = #{tris with cnt > k},
+    k < k_cap (descending by construction). Each length is quantized up
+    (jit-cache stability across small camera drifts) with slack + pad so
+    re-arms are rare; trailing zero slices are dropped.
+    """
+    n_ks = []
+    for nk in np.asarray(cnt_hist).tolist():
+        if nk == 0:
+            break
+        q = int(nk * slack) + pad
+        q += (-q) % quantum
+        n_ks.append(q)
+    return tuple(n_ks)
 
 
 # --------------------------------------------------------------------------
@@ -1258,12 +1452,22 @@ def trace_dense_primary(verts_dev, cam, dirn, *, width, height, tile=16,
     total, n_mid, n_g = (int(x) for x in count_pairs_dense(
         verts_dev, cam, width=width, height=height, tile=tile,
         k_slots=k_cap, k2_slots=k_cap))
-    if p_max is None:
+    if sort_mode == "v5":
+        _, hist, _ = count_hist_dense(verts_dev, cam, width=width,
+                                      height=height, tile=tile,
+                                      k_cap=k_cap)
+        n_ks = pick_nks(np.asarray(hist))
+        if p_max is None:
+            p_max = pick_cap(sum(n_ks), 16 * TPT)
+    elif p_max is None:
         p_max = pick_cap(total + n_mid, 16 * TPT)
     g2_max = pick_cap(n_g, TPT, pad=TPT) if n_g else 0
     kw = dict(width=width, height=height, tile=tile, k_cap=k_cap,
               p_max=p_max, g2_max=g2_max, z_bits=z_bits)
-    if sort_mode == "v4":
+    if sort_mode == "v5":
+        rows, row0, row1, g_r1, ok = binraster_prep_dense5(
+            verts_dev, cam, jnp.asarray(mcodes_np), n_ks=n_ks, **kw)
+    elif sort_mode == "v4":
         rows, row0, row1, g_r1, ok = binraster_prep_dense4(
             verts_dev, cam, jnp.asarray(mcodes_np), **kw)
     else:

@@ -133,9 +133,19 @@ def main():
             emit({"stage": f"hb_ao_{tag}",
                   "failed": f"{type(e).__name__}: {str(e)[:250]}"})
 
-    run_cfg("stack2", "stack")
-    run_cfg("packet_r8", "packet", rows=8)
-    run_cfg("forest_control", "auto")   # known ~1.5; re-measured for rigor
+    # One config per process (NTRACE_HB_CFG): a device/tunnel fault in
+    # one config must not poison the rest (first run lost all three).
+    cfg = os.environ.get("NTRACE_HB_CFG", "stack2")
+    if cfg == "stack2":
+        run_cfg("stack2", "stack")
+    elif cfg == "r1":
+        # rows=1 x interleave=8: eight INDEPENDENT 128-ray packets per
+        # block -- the union a packet walks shrinks 16x vs rows=16.
+        run_cfg("packet_r1", "packet", rows=1)
+    elif cfg == "r4":
+        run_cfg("packet_r4", "packet", rows=4)
+    else:
+        run_cfg("forest_control", "auto")   # known ~1.5; rigor re-measure
 
 
 if __name__ == "__main__":

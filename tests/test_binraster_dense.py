@@ -39,8 +39,10 @@ def _frame(W, H, campos, fwd, n_tris, seed, **kw):
 @pytest.mark.parametrize("tile,ez_chunk,sort_mode,kernel", [
     (16, 4, "s11", "walk"), (16, 0, "s11", "walk"), (32, 2, "s11", "walk"),
     (16, 0, "sg", "walk"), (16, 0, "v4", "walk"), (32, 2, "v4", "walk"),
+    (16, 0, "v5", "walk"), (32, 2, "v5", "walk"),
     (16, 0, "sg", "visits"), (16, 0, "v4", "visits"),
-    (32, 0, "s11", "visits"), (16, 0, "sg", "dma")])
+    (32, 0, "s11", "visits"), (16, 0, "sg", "dma"),
+    (16, 0, "v5", "visits")])
 def test_dense_matches_brute_force(tile, ez_chunk, sort_mode, kernel):
     tri, t, u, v, ref = _frame(
         64, 64, (0.0, 0.0, 4.0), (0.0, 0.0, -1.0), 300, 7,
@@ -60,7 +62,8 @@ def test_dense_oblique_camera():
 
 
 @pytest.mark.parametrize("sort_mode,kernel", [
-    ("s11", "walk"), ("v4", "walk"), ("v4", "visits"), ("sg", "dma")])
+    ("s11", "walk"), ("v4", "walk"), ("v4", "visits"), ("sg", "dma"),
+    ("v5", "walk")])
 def test_dense_camera_inside_soup(sort_mode, kernel):
     # Near-plane crossers + geometry in every direction: exercises the
     # walked-global tier (per-bin prefix visits in the visits kernel)
