@@ -647,10 +647,14 @@ def binraster_prep_dense5(verts, cam, mcodes, *, width, height, tile,
     if nk_max > n:   # quantized slice longer than the table: pad rows
         pad = jnp.zeros((nk_max - n, 13), jnp.int32)   # cnt=0 -> masked
         tri_tbl = jnp.concatenate([tri_tbl, pad], axis=0)
-    parts = [tri_tbl[:nk] for nk in n_ks]
-    kcol = jnp.concatenate(
-        [jnp.full((nk,), k, jnp.int32) for k, nk in enumerate(n_ks)])
-    pairs = jnp.concatenate(parts, axis=0)
+    if n_ks:
+        parts = [tri_tbl[:nk] for nk in n_ks]
+        kcol = jnp.concatenate(
+            [jnp.full((nk,), k, jnp.int32) for k, nk in enumerate(n_ks)])
+        pairs = jnp.concatenate(parts, axis=0)
+    else:   # nothing visible: every slot pads to SENT below
+        pairs = jnp.zeros((0, 13), jnp.int32)
+        kcol = jnp.zeros((0,), jnp.int32)
     e = pairs.shape[0]
     caps_ok = e <= p_max   # static; arm sizes p_max over sum(n_ks)
     if e < p_max:
