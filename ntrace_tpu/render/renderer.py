@@ -651,11 +651,15 @@ class Renderer:
                     scene, _layout_of, rows, interpret, engine)
             elif engine in ("packet", "packet_bfs", "packet_bdl",
                             "packet_dleaf"):
-                _tracer = _packet_family_tracer(
+                _fam = _packet_family_tracer(
                     engine, self.packed_nodes, self.packed_tris,
                     tpr=packed.tris_per_row, npr=packed.nodes_per_row,
                     lu=self.leaf_unroll, rows=rows, interpret=interpret,
                     tuned_kw=self.tuned_kw, dmin=self.tuned_dmin)
+
+                def _tracer(o, d, tn, tx, any_hit, tables=None):
+                    nt = tables[0] if tables else (None, None)
+                    return _fam(o, d, tn, tx, any_hit, nt[0], nt[1])
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
 
@@ -696,10 +700,15 @@ class Renderer:
             self.ut_nodes = n_nodes
             chunk = min(cfg.max_batch_rays, 1 << 13)  # measured optimum
 
-            def _tracer(o, d, tn, tx, any_hit):
+            def _tracer(o, d, tn, tx, any_hit, tables=None):
+                # tables: optional ((ut,),) from device_tables() so a
+                # caller's jit takes the unified table as an ARGUMENT --
+                # closure capture embeds it in the module (hairball's
+                # 300 MB ut made chained-jit remote compiles crawl).
+                ut = tables[0][0] if tables else self.ut_dev
                 r = o.shape[0]
                 if r <= chunk:
-                    return trace_stack2(self.ut_dev, self.ut_nodes, o, d,
+                    return trace_stack2(ut, self.ut_nodes, o, d,
                                         tn, tx, any_hit=any_hit)
                 pad = (-r) % chunk
                 if pad:
@@ -707,7 +716,7 @@ class Renderer:
                     d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
                     tn = jnp.concatenate([tn, jnp.zeros((pad,), tn.dtype)])
                     tx = jnp.concatenate([tx, jnp.zeros((pad,), tx.dtype)])
-                out = trace_persistent(self.ut_dev, self.ut_nodes, o, d, tn, tx,
+                out = trace_persistent(ut, self.ut_nodes, o, d, tn, tx,
                                        any_hit=any_hit, chunk=chunk)
                 return tuple(x[:r] for x in out)
         self._tracer = _tracer
@@ -889,6 +898,12 @@ class Renderer:
         callers can pass the result unconditionally."""
         if getattr(self, "forest", None):
             return tuple((c["nodes"], c["tris"]) for c in self.forest)
+        if getattr(self, "ut_dev", None) is not None:
+            return ((self.ut_dev,),)
+        if (getattr(self, "packed_nodes", None) is not None
+                and self.engine in ("packet", "packet_bfs", "packet_bdl",
+                                    "packet_dleaf")):
+            return ((self.packed_nodes, self.packed_tris),)
         return ()
 
     def _tracer_with(self, tables):

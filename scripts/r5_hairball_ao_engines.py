@@ -45,13 +45,14 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
-def marginal(tracer, sec, any_hit, ks=(1, K)):
+def marginal(tracer, sec, any_hit, tables, ks=(1, K)):
     def chain(k):
         @jax.jit
-        def run(o, d, tn, tx):
+        def run(o, d, tn, tx, tables):
             def body(_, c):
                 acc, tn2 = c
-                stri, st, su, sv = tracer(o, d, tn2, tx, any_hit)
+                stri, st, su, sv = tracer(o, d, tn2, tx, any_hit,
+                                          tables=tables)
                 acc = acc + jnp.where(st < 3e37, st, 0.0).sum()
                 return acc, tn + 1e-12 * acc
             acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0), tn))
@@ -59,7 +60,7 @@ def marginal(tracer, sec, any_hit, ks=(1, K)):
         return run
 
     walls, cs = {}, 0.0
-    args = (sec.orig, sec.dirn, sec.tmin, sec.tmax)
+    args = (sec.orig, sec.dirn, sec.tmin, sec.tmax, tables)
     for k in ks:
         run = chain(k)
         t0 = time.time()
@@ -116,7 +117,7 @@ def main():
                     width=W, height=H, mode="ao", samples=4,
                     packet_rows=rows, engine=engine), flat=flat))
             tr = r._tracer
-            m, w1, cs = marginal(tr, sec, any_hit)
+            m, w1, cs = marginal(tr, sec, any_hit, r.device_tables())
             stri, st, *_ = tr(sec.orig, sec.dirn, sec.tmin, sec.tmax,
                               any_hit)
             jax.block_until_ready(st)
