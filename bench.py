@@ -24,6 +24,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# Persistent XLA compile cache: the armed v5 prep's first compile is
+# minutes; session probes already populated this cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_cc")
 
 
 def _watchdog(signum, frame):
