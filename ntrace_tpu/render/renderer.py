@@ -535,8 +535,9 @@ class Renderer:
                 jax.device_put(jnp.asarray(self.flat.tri_index)),
             )
 
-            def _tracer(o, d, tn, tx, any_hit):
-                return trace_stack(*self.flat_dev, o, d, tn, tx, any_hit=any_hit)
+            def _tracer(o, d, tn, tx, any_hit, tables=None):
+                fd = tables[0] if tables else self.flat_dev
+                return trace_stack(*fd, o, d, tn, tx, any_hit=any_hit)
         elif engine == "kdtree":
             from ntrace_tpu.trace.kdtree_jax import trace_kd
 
@@ -547,7 +548,7 @@ class Renderer:
             kd_hi = jnp.asarray(self.flat.root_hi)
             chunk = min(cfg.max_batch_rays, 1 << 13)
 
-            def _tracer(o, d, tn, tx, any_hit):
+            def _tracer(o, d, tn, tx, any_hit, tables=None):
                 r = o.shape[0]
                 pad = (-r) % chunk
                 if pad:
@@ -564,7 +565,7 @@ class Renderer:
             self.wt_nodes = wt.n_node_rows
             chunk = min(cfg.max_batch_rays, 1 << 13)
 
-            def _tracer(o, d, tn, tx, any_hit):
+            def _tracer(o, d, tn, tx, any_hit, tables=None):
                 r = o.shape[0]
                 pad = (-r) % chunk
                 if pad:
@@ -572,7 +573,8 @@ class Renderer:
                     d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
                     tn = jnp.concatenate([tn, jnp.zeros((pad,), tn.dtype)])
                     tx = jnp.concatenate([tx, jnp.zeros((pad,), tx.dtype)])
-                out = trace_wide(self.wt_dev, self.wt_nodes, o, d, tn, tx,
+                wt = tables[0][0] if tables else self.wt_dev
+                out = trace_wide(wt, self.wt_nodes, o, d, tn, tx,
                                  any_hit=any_hit, chunk=chunk)
                 return tuple(x[:r] for x in out)
         elif engine == "packet_wide":  # 8-wide frustum-interval Pallas kernel
@@ -586,7 +588,7 @@ class Renderer:
             rows = cfg.packet_rows
             interpret = jax.default_backend() not in ("tpu", "axon")
 
-            def _tracer(o, d, tn, tx, any_hit):
+            def _tracer(o, d, tn, tx, any_hit, tables=None):
                 return trace_packet_wide(
                     self.packed_nodes, self.packed_tris, o, d, tn, tx,
                     any_hit=any_hit, rows=rows, interpret=interpret,
@@ -663,7 +665,7 @@ class Renderer:
             elif engine == "packet_ifif":
                 from ntrace_tpu.trace.packet_ifif import trace_packet_ifif
 
-                def _tracer(o, d, tn, tx, any_hit):
+                def _tracer(o, d, tn, tx, any_hit, tables=None):
                     return trace_packet_ifif(
                         self.packed_nodes, self.packed_tris, o, d, tn, tx,
                         any_hit=any_hit, rows=rows, interpret=interpret,
@@ -677,7 +679,7 @@ class Renderer:
                 fn = (trace_packet_ww if engine == "packet_ww"
                       else trace_packet_pipe)
 
-                def _tracer(o, d, tn, tx, any_hit):
+                def _tracer(o, d, tn, tx, any_hit, tables=None):
                     return fn(
                         self.packed_nodes, self.packed_tris, o, d, tn, tx,
                         any_hit=any_hit, rows=rows, interpret=interpret,
@@ -685,7 +687,7 @@ class Renderer:
                         nodes_per_row=packed.nodes_per_row,
                     )
         elif engine == "cpu_golden":  # host reference tracer (slow, exact)
-            def _tracer(o, d, tn, tx, any_hit):
+            def _tracer(o, d, tn, tx, any_hit, tables=None):
                 from ntrace_tpu.trace.cpu import trace_cpu_golden
 
                 rec = trace_cpu_golden(
@@ -900,6 +902,10 @@ class Renderer:
             return tuple((c["nodes"], c["tris"]) for c in self.forest)
         if getattr(self, "ut_dev", None) is not None:
             return ((self.ut_dev,),)
+        if getattr(self, "flat_dev", None) is not None:
+            return (self.flat_dev,)
+        if getattr(self, "wt_dev", None) is not None:
+            return ((self.wt_dev,),)
         if (getattr(self, "packed_nodes", None) is not None
                 and self.engine in ("packet", "packet_bfs", "packet_bdl",
                                     "packet_dleaf")):

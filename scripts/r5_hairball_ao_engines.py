@@ -138,7 +138,9 @@ def main():
     # one config must not poison the rest (first run lost all three).
     cfg = os.environ.get("NTRACE_HB_CFG", "stack2")
     if cfg == "stack2":
-        run_cfg("stack2", "stack")
+        run_cfg("stack2", "stack2")   # unified-table per-ray engine
+    elif cfg == "bvh8":
+        run_cfg("bvh8", "bvh8")       # 8-wide per-ray engine
     elif cfg == "r1":
         # rows=1 x interleave=8: eight INDEPENDENT 128-ray packets per
         # block -- the union a packet walks shrinks 16x vs rows=16.
