@@ -88,11 +88,24 @@ def diag(scene_name, n_tris, builder, bkw):
                   if td >= 0 and tg >= 0 else None)})
 
 
+CONFIGS = {
+    "sibenik": ("sibenik", 80_000, "binned_sah",
+                dict(sah_tri_cost=0.02, max_leaf_size=48)),
+    "conference": ("conference", 280_000, "lbvh",
+                   dict(max_leaf_size=32, sah_tri_cost=0.02)),
+    "fairy": ("fairy", 170_000, "hlbvh",
+              dict(max_leaf_size=32, sah_tri_cost=0.02)),
+    "hairball": ("hairball", 2_900_000, "lbvh",
+                 dict(max_leaf_size=32, sah_tri_cost=0.02)),
+    "san_miguel": ("san_miguel", 10_000_000, "sbvh",
+                   dict(sah_tri_cost=0.02, max_leaf_size=48)),
+}
+
+
 def main():
-    diag("sibenik", 80_000, "binned_sah",
-         dict(sah_tri_cost=0.02, max_leaf_size=48))
-    diag("conference", 280_000, "lbvh",
-         dict(max_leaf_size=32, sah_tri_cost=0.02))
+    only = os.environ.get("NTRACE_DIAG_ONLY", "sibenik,conference")
+    for name in only.split(","):
+        diag(*CONFIGS[name])
 
 
 if __name__ == "__main__":
